@@ -1,0 +1,112 @@
+"""Stage-1 renderer / evaluator.
+
+Renders every frame from the fitted atlas — the output consumed by stage 2 —
+and writes the reference's artifact set
+(reference: src/models/stage_1/evaluate.py:616-793 single /
+:203-602 dual): `results/<vid>/stage_1/output/%05d.png`, per-frame PSNR, a
+`PSNR_<mean>` marker file, a reconstruction mp4, and a checkpoint.
+
+TPU-first: a frame's full pixel grid is one (H*W)-row fused MLP forward
+(the reference chunks 100k coordinates at a time through many small GPU
+calls, evaluate.py:640-708); frames go through a single jitted function so
+the renderer compiles once and streams D2H one frame at a time.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AtlasConfig
+from ..metrics import psnr
+from ..models.imlp import imlp_apply
+from ..ops.coords import normalize_xyt
+from ..utils.checkpoint import save_checkpoint
+from .data import VideoData
+from .engine import AtlasSpecs, Params, _squash_alpha
+
+
+@partial(jax.jit, static_argnames=("specs", "H", "W", "T"))
+def render_frame(params: Params, specs: AtlasSpecs, f: jax.Array,
+                 H: int, W: int, T: int) -> Dict[str, jax.Array]:
+    """Render one frame (all H*W pixels) from the fitted models.
+
+    Returns {'rgb': (H, W, 3), 'uv1': (H, W, 2)[, 'alpha': (H, W, 1)]} —
+    rgb is the atlas reconstruction the reference writes to
+    `output/%05d.png` (evaluate.py:729-733).
+    """
+    L = max(H, W)
+    ii, jj = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    jif = (jj.reshape(-1), ii.reshape(-1), jnp.full((H * W,), f))
+    xyt = normalize_xyt(*jif, L, T)
+
+    uv1 = imlp_apply(params["mapping1"], xyt, specs.mapping1)
+    rgb1 = (imlp_apply(params["atlas"], uv1 * 0.5 + 0.5, specs.atlas) + 1.0) * 0.5
+    out = {"uv1": uv1.reshape(H, W, 2)}
+    if specs.dual:
+        uv2 = imlp_apply(params["mapping2"], xyt, specs.mapping2)
+        rgb2 = (imlp_apply(params["atlas"], uv2 * 0.5 - 0.5, specs.atlas) + 1.0) * 0.5
+        a = _squash_alpha(imlp_apply(params["alpha"], xyt, specs.alpha))
+        rgb = rgb1 * a + rgb2 * (1.0 - a)
+        out["alpha"] = a.reshape(H, W, 1)
+        out["uv2"] = uv2.reshape(H, W, 2)
+    else:
+        rgb = rgb1
+    out["rgb"] = rgb.reshape(H, W, 3)
+    return out
+
+
+def render_frames(params: Params, specs: AtlasSpecs,
+                  T: int, H: int, W: int) -> np.ndarray:
+    """Render all frames -> (T, H, W, 3) float32 on host."""
+    frames = np.zeros((T, H, W, 3), np.float32)
+    for f in range(T):
+        frames[f] = np.asarray(render_frame(params, specs, f, H, W, T)["rgb"])
+    return frames
+
+
+def evaluate_and_save(params: Params, specs: AtlasSpecs, data: VideoData,
+                      cfg: AtlasConfig, results_folder: str | Path,
+                      iteration: int, opt_state=None,
+                      save_video: bool = True,
+                      save_ckpt: bool = True) -> Tuple[np.ndarray, float]:
+    """Render, write output PNGs + PSNR marker (+ mp4, + checkpoint).
+
+    Returns (rendered (T,H,W,3), mean PSNR).  Artifact layout matches the
+    reference stage-1 results folder (SURVEY.md §1 filesystem contract).
+    """
+    from ..io.media import frames_to_video, write_image
+
+    results_folder = Path(results_folder)
+    out_dir = results_folder / "output"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    T, (H, W) = data.num_frames, data.res
+    video_np = np.asarray(data.video)
+
+    rendered = render_frames(params, specs, T, H, W)
+    psnrs = np.zeros(T)
+    for f in range(T):
+        write_image(rendered[f], out_dir / f"{f:05d}.png")
+        psnrs[f] = psnr(video_np[f], rendered[f], data_range=1.0)
+
+    mean_psnr = float(psnrs.mean())
+    # PSNR marker file, like the reference's `PSNR_<val>` (evaluate.py:782-783)
+    (results_folder / f"PSNR_{mean_psnr:.2f}").touch()
+
+    if save_video:
+        frames_to_video(out_dir, results_folder / "reconstruction.mp4", fps=10)
+
+    if save_ckpt:
+        save_checkpoint(results_folder / "checkpoint", {
+            "params": params,
+            "opt_state": opt_state,
+            "iteration": iteration,
+            "dual": specs.dual,
+        })
+    return rendered, mean_psnr
