@@ -45,6 +45,22 @@ from .data import VideoData
 Params = Dict[str, list]
 
 
+def select_imlp_apply(use_pallas: bool = True):
+    """Pick the IMLP forward: the Pallas fused VMEM-resident kernel on TPU
+    (ops/pallas/imlp_kernel — the dominant-loop optimization), the XLA path
+    elsewhere.  DEFLICKER_NO_PALLAS=1 is the kill switch."""
+    import os
+
+    from ..ops.pallas import fused_imlp_available
+
+    if (use_pallas and fused_imlp_available()
+            and os.environ.get("DEFLICKER_NO_PALLAS") != "1"):
+        from ..models.imlp import imlp_apply_fused
+
+        return imlp_apply_fused
+    return imlp_apply
+
+
 class AtlasSpecs(NamedTuple):
     """Static IMLP architectures for one fit. mapping2/alpha are None on the
     single-atlas path (reference: alpha hardwired to 1,
@@ -122,6 +138,7 @@ def make_loss_fn(specs: AtlasSpecs, cfg: AtlasConfig, data: VideoData,
     T, (H, W) = data.num_frames, data.res
     L = data.larger_dim
     dual = specs.dual
+    apply_mlp = select_imlp_apply(getattr(cfg, "use_pallas_imlp", True))
     d = cfg.derivative_amount
     gd_fg = cfg.global_rigidity_derivative_amount_fg
     gd_bg = cfg.global_rigidity_derivative_amount_bg
@@ -149,7 +166,7 @@ def make_loss_fn(specs: AtlasSpecs, cfg: AtlasConfig, data: VideoData,
 
     def run_mapping(params, spec, coords):
         K, B, _ = coords.shape
-        out = imlp_apply(params, coords.reshape(K * B, 3), spec)
+        out = apply_mlp(params, coords.reshape(K * B, 3), spec)
         return out.reshape(K, B, 2)
 
     def loss_fn(params: Params, j: jax.Array, i: jax.Array, f: jax.Array):
@@ -174,8 +191,8 @@ def make_loss_fn(specs: AtlasSpecs, cfg: AtlasConfig, data: VideoData,
                               mapping_coords(j, i, f, ffwd, fbwd, gd_bg))
             atlas_in += [uv2[0] * 0.5 - 0.5, uv2[1] * 0.5 - 0.5, uv2[2] * 0.5 - 0.5]
         n_atlas = len(atlas_in)
-        rgb_all = imlp_apply(params["atlas"],
-                             jnp.concatenate(atlas_in, axis=0), specs.atlas)
+        rgb_all = apply_mlp(params["atlas"],
+                            jnp.concatenate(atlas_in, axis=0), specs.atlas)
         rgb_all = (rgb_all + 1.0) * 0.5
         rgb_all = rgb_all.reshape(n_atlas, B, 3)
         rgb1, rgb1_x, rgb1_y = rgb_all[0], rgb_all[1], rgb_all[2]
@@ -189,9 +206,9 @@ def make_loss_fn(specs: AtlasSpecs, cfg: AtlasConfig, data: VideoData,
                 norm(j + ffwd[:, 0], i + ffwd[:, 1], f.astype(jnp.float32) + 1.0),
                 norm(j + fbwd[:, 0], i + fbwd[:, 1], f.astype(jnp.float32) - 1.0),
             ], axis=0)
-            a_all = _squash_alpha(imlp_apply(params["alpha"],
-                                             acoords.reshape(5 * B, 3),
-                                             specs.alpha).reshape(5, B, 1))
+            a_all = _squash_alpha(apply_mlp(params["alpha"],
+                                            acoords.reshape(5 * B, 3),
+                                            specs.alpha).reshape(5, B, 1))
             a, a_x, a_y, a_fwd, a_bwd = (a_all[k] for k in range(5))
 
             rgb_pred = rgb1 * a + rgb2 * (1.0 - a)
@@ -261,17 +278,25 @@ def make_loss_fn(specs: AtlasSpecs, cfg: AtlasConfig, data: VideoData,
 
 
 def make_scan_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
-                   batch: int, H: int, W: int, T: int) -> Callable:
-    """One optimizer step as a lax.scan body; carry = (params, opt_state, key)."""
+                   batch: int, H: int, W: int, T: int,
+                   mesh=None) -> Callable:
+    """One optimizer step as a lax.scan body; carry = (params, opt_state, key).
+
+    With a mesh, the sampled coordinate batch is annotated as sharded over
+    the data axis: XLA SPMD partitions the gathers and fused MLP matmuls
+    across devices and psums the loss/grad reductions over ICI — exact same
+    numerics as single-device (global means, not per-shard means).
+    """
+    from ..parallel import shard_constraint
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def step(carry, _):
         params, opt_state, key = carry
         key, kj, ki, kf = jax.random.split(key, 4)
-        j = jax.random.randint(kj, (batch,), 0, W)
-        i = jax.random.randint(ki, (batch,), 0, H)
-        f = jax.random.randint(kf, (batch,), 0, T)
+        j = shard_constraint(jax.random.randint(kj, (batch,), 0, W), mesh)
+        i = shard_constraint(jax.random.randint(ki, (batch,), 0, H), mesh)
+        f = shard_constraint(jax.random.randint(kf, (batch,), 0, T), mesh)
         (_, aux), grads = grad_fn(params, j, i, f)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -300,8 +325,8 @@ def fit_atlas(params: Params, specs: AtlasSpecs, data: VideoData,
               start_iteration: int = 0,
               opt_state=None,
               eval_callback: Optional[Callable[[int, Params, object], None]] = None,
-              log_callback: Optional[Callable[[int, Dict[str, float]], None]] = None
-              ) -> FitResult:
+              log_callback: Optional[Callable[[int, Dict[str, float]], None]] = None,
+              mesh=None) -> FitResult:
     """Run the stage-1 fit from `start_iteration` to `cfg.iters_num - 1`.
 
     Evaluation cadence replicates the reference: `eval_callback(i, ...)` fires
@@ -345,7 +370,8 @@ def fit_atlas(params: Params, specs: AtlasSpecs, data: VideoData,
         if flags not in step_fns:
             loss_fn = make_loss_fn(specs, cfg, data, *flags)
             step_fns[flags] = make_scan_step(loss_fn, optimizer,
-                                             cfg.samples_batch, H, W, T)
+                                             cfg.samples_batch, H, W, T,
+                                             mesh=mesh)
         carry, aux_mean = _run_chunk(carry, step_fn=step_fns[flags],
                                      n_steps=n_steps)
         i = nxt

@@ -31,19 +31,22 @@ from .data import VideoData
 from .engine import AtlasSpecs, Params, _squash_alpha
 
 
-@partial(jax.jit, static_argnames=("specs", "H", "W", "T"))
+@partial(jax.jit, static_argnames=("specs", "H", "W", "T", "mesh"))
 def render_frame(params: Params, specs: AtlasSpecs, f: jax.Array,
-                 H: int, W: int, T: int) -> Dict[str, jax.Array]:
+                 H: int, W: int, T: int, mesh=None) -> Dict[str, jax.Array]:
     """Render one frame (all H*W pixels) from the fitted models.
 
     Returns {'rgb': (H, W, 3), 'uv1': (H, W, 2)[, 'alpha': (H, W, 1)]} —
     rgb is the atlas reconstruction the reference writes to
-    `output/%05d.png` (evaluate.py:729-733).
+    `output/%05d.png` (evaluate.py:729-733).  With a mesh, the pixel batch
+    shards over the data axis (XLA SPMD splits the fused MLP forwards).
     """
+    from ..parallel import shard_constraint
+
     L = max(H, W)
     ii, jj = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
     jif = (jj.reshape(-1), ii.reshape(-1), jnp.full((H * W,), f))
-    xyt = normalize_xyt(*jif, L, T)
+    xyt = shard_constraint(normalize_xyt(*jif, L, T), mesh)
 
     uv1 = imlp_apply(params["mapping1"], xyt, specs.mapping1)
     rgb1 = (imlp_apply(params["atlas"], uv1 * 0.5 + 0.5, specs.atlas) + 1.0) * 0.5
@@ -62,11 +65,12 @@ def render_frame(params: Params, specs: AtlasSpecs, f: jax.Array,
 
 
 def render_frames(params: Params, specs: AtlasSpecs,
-                  T: int, H: int, W: int) -> np.ndarray:
+                  T: int, H: int, W: int, mesh=None) -> np.ndarray:
     """Render all frames -> (T, H, W, 3) float32 on host."""
     frames = np.zeros((T, H, W, 3), np.float32)
     for f in range(T):
-        frames[f] = np.asarray(render_frame(params, specs, f, H, W, T)["rgb"])
+        frames[f] = np.asarray(render_frame(params, specs, f, H, W, T,
+                                            mesh=mesh)["rgb"])
     return frames
 
 

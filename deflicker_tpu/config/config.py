@@ -135,11 +135,15 @@ class PipelineConfig:
     ckpt_local: str = "./pretrained_weights/local_refinement_net.npz"
     ckpt_raft: str = "./pretrained_weights/raft-things.npz"
 
-    # stage-1 args (reference: src/stage1_neural_atlas.py:259-264)
+    # stage-1 args (reference: src/stage1_neural_atlas.py:259-264).
+    # down=None means "auto": 4 on the single-atlas path, 1 on the seg path
+    # (the reference scripts' respective --down defaults).
     config: str = "config_flow_100.json"
-    down: Optional[int] = 4
+    down: Optional[int] = None
     root: str = "data/test/"
     results_root: str = "results"
+    # mask provider override for the seg path: carvekit | maskrcnn | grabcut
+    mask_provider: Optional[str] = None
 
     # flow preprocessing (reference: src/preprocess_optical_flow.py:37-42)
     max_long_edge: int = 2000

@@ -1,0 +1,156 @@
+"""Stage-2 engine: neural filter (U-Net) + sequential local refinement.
+
+TPU-native redesign of `src/neural_filter_and_refinement.py:89-130`:
+
+  * the U-Net filter is per-frame independent — we batch frames through it
+    in chunks (the reference runs one frame per forward);
+  * the refinement recurrence O_t = P_t + TransformNet(P_t, O_{t-1}, P_t,
+    P_{t-1}) is a `lax.scan` over frames (one compile, state stays in HBM;
+    the reference's Python loop crosses host<->device per frame);
+  * I/O quirk replicated: frames are padded to /32 ('other' mode: width
+    split, height all-bottom, replicate — src/models/utils.py:626-645) and
+    outputs are RESIZED back to the original size rather than cropped
+    (neural_filter_and_refinement.py:111-121).
+
+Output contract (identical to the reference):
+  results/<vid>/neural_filter/concat/%05d.png   (content | atlas | filtered)
+  results/<vid>/neural_filter/output/%05d.png   (filtered P_t)
+  results/<vid>/final/output/%05d.png           (refined O_t)
+  + the three .mp4s next to each folder.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.media import frames_to_video, list_frames, read_image, write_image
+from ..models.refine import TransformNet
+from ..models.unet import UNet
+from ..ops.pad import Padder
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def filter_frames(variables: Dict, content: jax.Array, style: jax.Array,
+                  dtype=jnp.float32) -> jax.Array:
+    """P = UNet(cat(content, atlas-frame)) on a batch of frames
+    (neural_filter_and_refinement.py:97)."""
+    net = UNet(in_channels=6, out_channels=3, features=32, dtype=dtype)
+    x = jnp.concatenate([content, style], axis=-1).astype(dtype)
+    return net.apply(variables, x).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def refine_sequence(variables: Dict, preds: jax.Array,
+                    dtype=jnp.float32) -> jax.Array:
+    """O_0 = P_0;  O_t = P_t + TransformNet(cat(P_t, O_{t-1}, P_t, P_{t-1}))
+    (neural_filter_and_refinement.py:99-109) as a scan over frames.
+
+    preds: (T, H, W, 3) filtered frames.  Returns (T, H, W, 3) refined.
+    """
+    net = TransformNet(nf=32, blocks=5, nc_out=3, dtype=dtype)
+
+    def step(carry, p_t):
+        o_prev, p_prev = carry
+        inp = jnp.concatenate([p_t, o_prev, p_t, p_prev], axis=-1)[None]
+        resid = net.apply(variables, inp.astype(dtype))[0].astype(jnp.float32)
+        o_t = p_t + resid
+        return (o_t, p_t), o_t
+
+    p0 = preds[0]
+    (_, _), rest = jax.lax.scan(step, (p0, p0), preds[1:])
+    return jnp.concatenate([p0[None], rest], axis=0)
+
+
+class FilterEngine:
+    def __init__(self, filter_variables: Dict, local_variables: Dict,
+                 dtype=jnp.float32, batch: int = 8):
+        self.filter_variables = filter_variables
+        self.local_variables = local_variables
+        self.dtype = dtype
+        self.batch = batch
+
+    def run(self, content_dir: str | Path, style_dir: str | Path,
+            results_dir: str | Path, fps: int = 10,
+            save_concat: bool = True) -> np.ndarray:
+        """Full stage 2 over a video's frames; returns refined (T, H, W, 3)."""
+        content_names = list_frames(content_dir)
+        style_names = list_frames(style_dir)
+        assert len(content_names) == len(style_names), (
+            f"{len(content_names)} content vs {len(style_names)} style frames")
+        T = len(content_names)
+        results_dir = Path(results_dir)
+        concat_dir = results_dir / "neural_filter" / "concat"
+        filter_dir = results_dir / "neural_filter" / "output"
+        final_dir = results_dir / "final" / "output"
+
+        # load all frames; style resized to the content's size like the
+        # reference (load_image(size=org_size), models/utils.py:600-624)
+        import cv2
+
+        first = read_image(content_names[0])
+        H, W = first.shape[:2]
+        content = np.zeros((T, H, W, 3), np.float32)
+        style = np.zeros((T, H, W, 3), np.float32)
+        for t in range(T):
+            content[t] = read_image(content_names[t])
+            s = read_image(style_names[t])
+            if s.shape[:2] != (H, W):
+                s = cv2.resize(s, (W, H), interpolation=cv2.INTER_LINEAR)
+            style[t] = s
+
+        padder = Padder(H, W, divisor=32, mode="other")
+        preds = np.zeros((T,) + padder.padded_hw + (3,), np.float32)
+        content_p = padder.pad(jnp.asarray(content))
+        style_p = padder.pad(jnp.asarray(style))
+        for s0 in range(0, T, self.batch):
+            s1 = min(s0 + self.batch, T)
+            preds[s0:s1] = np.asarray(filter_frames(
+                self.filter_variables, content_p[s0:s1], style_p[s0:s1],
+                dtype=self.dtype))
+
+        refined = np.asarray(refine_sequence(self.local_variables,
+                                             jnp.asarray(preds),
+                                             dtype=self.dtype))
+
+        # save, resizing padded outputs back to the original size
+        # (the reference's unpad-by-resize quirk)
+        for t in range(T):
+            p = cv2.resize(preds[t], (W, H), interpolation=cv2.INTER_LINEAR)
+            o = cv2.resize(refined[t], (W, H), interpolation=cv2.INTER_LINEAR)
+            write_image(p, filter_dir / f"{t:05d}.png")
+            write_image(o, final_dir / f"{t:05d}.png")
+            if save_concat:
+                write_image(np.concatenate([content[t], style[t], p], axis=1),
+                            concat_dir / f"{t:05d}.png")
+
+        for d in ([concat_dir] if save_concat else []) + [filter_dir, final_dir]:
+            frames_to_video(d, d.parent / (d.name + ".mp4"), fps=fps)
+        return refined
+
+
+def load_filter_engine(ckpt_filter: Optional[str | Path],
+                       ckpt_local: Optional[str | Path],
+                       dtype=jnp.float32, batch: int = 8,
+                       seed: int = 2023) -> FilterEngine:
+    """Build a FilterEngine from checkpoints; falls back to seeded random
+    init when a checkpoint path is missing (smoke runs without pretrained
+    weights — results are not meaningful, but the pipeline exercises)."""
+    from ..models.refine import transformnet_init
+    from ..models.unet import unet_init
+    from .convert import load_stage2_checkpoint
+
+    if ckpt_filter and Path(ckpt_filter).exists():
+        fvars = load_stage2_checkpoint(ckpt_filter)
+    else:
+        fvars = unet_init(jax.random.key(seed))
+    if ckpt_local and Path(ckpt_local).exists():
+        lvars = load_stage2_checkpoint(ckpt_local)
+    else:
+        lvars = transformnet_init(jax.random.key(seed + 1))
+    return FilterEngine(fvars, lvars, dtype=dtype, batch=batch)

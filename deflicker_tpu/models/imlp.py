@@ -86,6 +86,26 @@ def imlp_init(key: jax.Array, spec: IMLPSpec, dtype=jnp.float32):
     return params
 
 
+def imlp_apply_fused(params, x: jax.Array, spec: IMLPSpec,
+                     tile: int = 512, interpret: bool = False) -> jax.Array:
+    """IMLP forward via the Pallas fused linear-chain kernel
+    (ops/pallas/imlp_kernel): positional encoding + stop-gradient skip
+    handling here, the whole matmul chain in one VMEM-resident kernel.
+    Numerically equivalent to `imlp_apply` (same HIGHEST-precision dots).
+    """
+    from ..ops.pallas import fused_imlp_linear_chain
+
+    if spec.use_positional:
+        x = positional_encoding(x, spec.positional_dim)
+    h = fused_imlp_linear_chain(params, x, spec, tile=tile,
+                                interpret=interpret)
+    if spec.use_tanh:
+        h = jnp.tanh(h)
+    if spec.apply_softmax:
+        h = jax.nn.softmax(h, axis=-1)
+    return h
+
+
 def imlp_apply(params, x: jax.Array, spec: IMLPSpec,
                precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """Apply the IMLP to coordinates x (..., input_dim).

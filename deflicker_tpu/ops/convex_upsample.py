@@ -52,10 +52,10 @@ def upflow8(flow: jax.Array) -> jax.Array:
     scaled by 8 — fallback used when no mask head output is available
     (reference: src/models/stage_1/core/utils/utils.py:80-82)."""
     N, H, W, C = flow.shape
-    return 8.0 * _resize_bilinear_align_corners(flow, 8 * H, 8 * W)
+    return 8.0 * resize_bilinear_align_corners(flow, 8 * H, 8 * W)
 
 
-def _resize_bilinear_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+def resize_bilinear_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """align_corners=True bilinear resize of (N, H, W, C).
 
     jax.image.resize implements the half-pixel (align_corners=False)

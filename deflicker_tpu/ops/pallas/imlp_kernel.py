@@ -1,0 +1,271 @@
+"""Pallas TPU kernel: fused IMLP linear-relu chain (forward + custom VJP).
+
+The stage-1 fit step is the pipeline's dominant hot loop (SURVEY.md §3.1
+HOT LOOP 4): ~9 batched coordinate variants × a 6-8 layer 256-wide MLP,
+forward and backward, every iteration.  Under plain XLA each layer boundary
+round-trips the (B, 256) activation through HBM — at B≈90k that's ~90 MB
+per boundary, making the step HBM-bandwidth-bound (the matmul FLOPs would
+take ~¼ of the time the HBM traffic does).
+
+This kernel runs the ENTIRE linear-relu chain over a batch tile while all
+layer weights stay resident in VMEM (≤ ~2.5 MB for the largest IMLP):
+activations never leave VMEM between layers, so HBM traffic collapses to
+one read of the input and one write of the output per tile.  The backward
+kernel re-materializes the forward per tile (classic remat: recompute is
+MXU-cheap, storage is what hurts) and accumulates dW/db across the
+sequential TPU grid in VMEM scratch.
+
+Semantics match `models.imlp.imlp_apply` for the chain part:
+  * layer i>0 applies relu BEFORE its matmul;
+  * skip layers concatenate the stop-gradient'ed encoded input
+    (the reference's `input = x.detach().clone()` quirk,
+    implicit_neural_networks.py:69-75) — the backward kernel therefore
+    DROPS the gradient flowing into the skip branch;
+  * output is PRE-tanh: the caller applies tanh/softmax (XLA fuses those
+    into the surrounding loss graph).
+
+Positional encoding also stays outside: it is a handful of VPU
+transcendentals XLA fuses into the gather that produces the coordinates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:                                    # pragma: no cover
+    _PALLAS_OK = False
+
+from ...models.imlp import IMLPSpec
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def fused_imlp_available() -> bool:
+    return _PALLAS_OK and jax.default_backend() == "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(spec: IMLPSpec, n_layers: int, *refs):
+    """refs = [x_ref, W0, b0, W1, b1, ..., out_ref]."""
+    x_ref = refs[0]
+    out_ref = refs[1 + 2 * n_layers]
+    x = x_ref[...]
+    h = x
+    for i in range(n_layers):
+        W = refs[1 + 2 * i][...]
+        b = refs[2 + 2 * i][...]
+        if i > 0:
+            h = jnp.maximum(h, 0.0)
+        if i in spec.skip_layers:
+            h = jnp.concatenate([h, x], axis=-1)
+        h = jnp.dot(h, W, preferred_element_type=jnp.float32,
+                    precision=_PREC) + b
+    out_ref[...] = h
+
+
+def _bwd_kernel(spec: IMLPSpec, n_layers: int, *refs):
+    """refs = [x_ref, W0, b0, ..., g_ref]  +  outputs [dx_ref, dW0, db0, ...]
+    + scratch accumulators [aW0, ab0, ...].
+
+    Recomputes the forward for the tile, then reverse-accumulates.  The
+    sequential TPU grid makes VMEM-scratch accumulation across tiles safe.
+    """
+    n_in = 2 + 2 * n_layers                 # x, (W, b)*, g
+    x_ref = refs[0]
+    g_ref = refs[n_in - 1]
+    outs = refs[n_in:n_in + 1 + 2 * n_layers]
+    dx_ref = outs[0]
+    accs = refs[n_in + 1 + 2 * n_layers:]
+
+    tile = pl.program_id(0)
+    is_first = tile == 0
+    is_last = tile == pl.num_programs(0) - 1
+
+    x = x_ref[...]
+    # forward, stashing each layer's INPUT (post-relu, post-concat)
+    h = x
+    layer_inputs = []
+    for i in range(n_layers):
+        W = refs[1 + 2 * i][...]
+        b = refs[2 + 2 * i][...]
+        if i > 0:
+            h = jnp.maximum(h, 0.0)
+        if i in spec.skip_layers:
+            h = jnp.concatenate([h, x], axis=-1)
+        layer_inputs.append(h)
+        h = jnp.dot(h, W, preferred_element_type=jnp.float32,
+                    precision=_PREC) + b
+
+    # reverse pass
+    g = g_ref[...]
+    dx = jnp.zeros_like(x)
+    for i in reversed(range(n_layers)):
+        a_in = layer_inputs[i]
+        dW = jnp.dot(a_in.T, g, preferred_element_type=jnp.float32,
+                     precision=_PREC)
+        db = jnp.sum(g, axis=0, keepdims=True)
+        W = refs[1 + 2 * i][...]
+        g = jnp.dot(g, W.T, preferred_element_type=jnp.float32,
+                    precision=_PREC)
+        if i in spec.skip_layers:
+            # drop the skip branch's gradient (stop_gradient semantics)
+            g = g[:, :a_in.shape[1] - x.shape[1]]
+        if i > 0:
+            # relu mask wrt the PRE-relu activation: a_in's first block is
+            # post-relu, so mask = a_in > 0 on that block
+            g = g * (layer_inputs[i][:, :g.shape[1]] > 0.0)
+        else:
+            dx = g
+
+        aW, ab = accs[2 * i], accs[2 * i + 1]
+
+        @pl.when(is_first)
+        def _():
+            aW[...] = dW
+            ab[...] = db
+
+        @pl.when(jnp.logical_not(is_first))
+        def _():
+            aW[...] += dW
+            ab[...] += db
+
+    dx_ref[...] = dx
+
+    @pl.when(is_last)
+    def _():
+        for i in range(n_layers):
+            outs[1 + 2 * i][...] = accs[2 * i][...]
+            outs[2 + 2 * i][...] = accs[2 * i + 1][...]
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+def _pack(params) -> Sequence[jax.Array]:
+    flat = []
+    for layer in params:
+        flat.append(layer["w"])
+        flat.append(layer["b"].reshape(1, -1))
+    return flat
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _chain(packed: Tuple[jax.Array, ...], xe: jax.Array, spec: IMLPSpec,
+           tile: int, interpret: bool) -> jax.Array:
+    return _chain_fwd(packed, xe, spec, tile, interpret)[0]
+
+
+def _call_fwd(packed, xe, spec, tile, interpret):
+    n_layers = len(packed) // 2
+    B, E = xe.shape
+    O = packed[-2].shape[1]
+    grid = (B // tile,)
+    in_specs = [pl.BlockSpec((tile, E), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)]
+    for k in range(n_layers):
+        W, b = packed[2 * k], packed[2 * k + 1]
+        in_specs.append(pl.BlockSpec(W.shape, lambda t: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(b.shape, lambda t: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((tile, O), lambda t: (t, 0),
+                            memory_space=pltpu.VMEM)
+    kern = functools.partial(_fwd_kernel, spec, n_layers)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, O), jnp.float32),
+        interpret=interpret,
+    )(xe, *packed)
+
+
+def _chain_fwd(packed, xe, spec, tile, interpret):
+    y = _call_fwd(packed, xe, spec, tile, interpret)
+    return y, (packed, xe)
+
+
+def _chain_bwd(spec, tile, interpret, res, g):
+    packed, xe = res
+    n_layers = len(packed) // 2
+    B, E = xe.shape
+    O = packed[-2].shape[1]
+    grid = (B // tile,)
+
+    in_specs = [pl.BlockSpec((tile, E), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)]
+    for k in range(n_layers):
+        W, b = packed[2 * k], packed[2 * k + 1]
+        in_specs.append(pl.BlockSpec(W.shape, lambda t: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(b.shape, lambda t: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((tile, O), lambda t: (t, 0),
+                                 memory_space=pltpu.VMEM))
+
+    out_shapes = [jax.ShapeDtypeStruct((B, E), jnp.float32)]
+    out_specs = [pl.BlockSpec((tile, E), lambda t: (t, 0),
+                              memory_space=pltpu.VMEM)]
+    scratch = []
+    for k in range(n_layers):
+        W, b = packed[2 * k], packed[2 * k + 1]
+        out_shapes.append(jax.ShapeDtypeStruct(W.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(W.shape, lambda t: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(b.shape, lambda t: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        scratch.append(pltpu.VMEM(W.shape, jnp.float32))
+        scratch.append(pltpu.VMEM(b.shape, jnp.float32))
+
+    kern = functools.partial(_bwd_kernel, spec, n_layers)
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(xe, *packed, g)
+    dx = outs[0]
+    dpacked = tuple(outs[1:])
+    return dpacked, dx
+
+
+_chain.defvjp(_chain_fwd, _chain_bwd)
+
+
+def fused_imlp_linear_chain(params, xe: jax.Array, spec: IMLPSpec,
+                            tile: int = 512,
+                            interpret: bool = False) -> jax.Array:
+    """Fused linear-relu(-skip) chain on PRE-ENCODED input xe (B, E).
+
+    Returns the pre-tanh output (B, output_dim).  Pads the batch to a tile
+    multiple internally.  Differentiable via the custom-VJP backward kernel.
+    """
+    B = xe.shape[0]
+    Bp = _round_up(max(B, tile), tile)
+    if Bp != B:
+        xe = jnp.pad(xe, ((0, Bp - B), (0, 0)))
+    y = _chain(tuple(_pack(params)), xe, spec, tile, interpret)
+    return y[:B]

@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The environment's TPU plugin (sitecustomize) force-sets
+# jax_platforms="axon,cpu" at import time, overriding the env var — pin it
+# back so the suite really runs on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,71 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def test_mesh_has_8_devices():
+    from deflicker_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    assert mesh.size == 8
+
+
+def test_sharded_fit_matches_single_device():
+    """Same key -> identical sampled batch; the sharding constraint changes
+    layout only, so per-step losses must agree with the unsharded run."""
+    import dataclasses
+
+    import optax
+
+    from deflicker_tpu.atlas.engine import (_run_chunk, build_specs,
+                                            init_models, make_loss_fn,
+                                            make_scan_step)
+    from deflicker_tpu.config import AtlasConfig
+    from deflicker_tpu.parallel import make_mesh, replicated
+    from tests.test_atlas_engine import synthetic_data, tiny_config
+
+    cfg = dataclasses.replace(tiny_config(), samples_batch=256)
+    data = synthetic_data()
+    T, (H, W) = data.num_frames, data.res
+    specs = build_specs(cfg, dual=False)
+    optimizer = optax.adam(cfg.learning_rate)
+    loss_fn = make_loss_fn(specs, cfg, data, True, False)
+
+    def run(mesh):
+        # fresh params per run: _run_chunk donates its carry buffers
+        p = init_models(jax.random.key(0), specs)
+        opt = optimizer.init(p)
+        if mesh is not None:
+            p = jax.device_put(p, replicated(mesh))
+            opt = jax.device_put(opt, replicated(mesh))
+        step = make_scan_step(loss_fn, optimizer, cfg.samples_batch, H, W, T,
+                              mesh=mesh)
+        # one step: same key -> same sampled batch; only the cross-device
+        # reduction order differs.  (More steps would compound float noise
+        # chaotically through Adam + the ill-conditioned rigidity inverse.)
+        carry, aux = _run_chunk((p, opt, jax.random.key(7)), step_fn=step,
+                                n_steps=1)
+        return float(aux["total"])
+
+    single = run(None)
+    sharded = run(make_mesh(8))
+    np.testing.assert_allclose(sharded, single, rtol=1e-4)
+
+
+def test_sharded_render_matches():
+    from deflicker_tpu.atlas.engine import build_specs, init_models
+    from deflicker_tpu.atlas.render import render_frame
+    from deflicker_tpu.config import AtlasConfig
+    from deflicker_tpu.parallel import make_mesh
+    from tests.test_atlas_engine import tiny_config
+
+    cfg = tiny_config()
+    specs = build_specs(cfg, dual=False)
+    params = init_models(jax.random.key(0), specs)
+    # H*W must divide by 8 for even sharding: 16*24
+    a = render_frame(params, specs, 1, 16, 24, 4)["rgb"]
+    b = render_frame(params, specs, 1, 16, 24, 4, mesh=make_mesh(8))["rgb"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -1,0 +1,71 @@
+"""End-to-end pipeline smoke test on a tiny synthetic video (CPU).
+
+Exercises: frame adoption, Farneback flow fallback + .npy cache, atlas fit,
+stage-1 artifacts, stage-2 (random-init weights) artifacts — the full
+filesystem contract of SURVEY.md §1.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def tiny_video_dir(tmp_path):
+    import cv2
+
+    root = tmp_path / "data" / "test"
+    frames = root / "vid"
+    frames.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    base = rng.uniform(40, 215, (48, 64, 3)).astype(np.uint8)
+    for t in range(5):
+        frame = np.roll(base, t, axis=1).astype(np.float32)
+        frame = np.clip(frame * (1.0 + 0.1 * ((-1) ** t)), 0, 255)  # flicker
+        cv2.imwrite(str(frames / f"{t:05d}.png"), frame.astype(np.uint8))
+    return tmp_path, frames
+
+
+def test_full_pipeline_artifacts(tiny_video_dir):
+    import dataclasses
+
+    from deflicker_tpu.config import AtlasConfig, PipelineConfig
+    from deflicker_tpu.cli.pipeline import run_pipeline
+
+    tmp, frames = tiny_video_dir
+    cfg = PipelineConfig(
+        video_frame_folder=str(frames),
+        root=str(frames.parent),
+        results_root=str(tmp / "results"),
+        down=2,
+        ckpt_raft=str(tmp / "missing.pth"),     # forces Farneback fallback
+        ckpt_filter=None, ckpt_local=None)      # random-init stage 2
+    atlas_cfg = dataclasses.replace(
+        AtlasConfig(), iters_num=30, samples_batch=128, steps_per_call=10,
+        evaluate_every=29, pretrain_iter_number=2,
+        number_of_channels_atlas=32, number_of_layers_atlas=4,
+        number_of_channels_mapping1=32, number_of_layers_mapping1=3,
+        stop_global_rigidity=15)
+
+    out = run_pipeline(cfg, atlas_cfg)
+    assert out["psnr"] > 0
+
+    results = tmp / "results" / "vid"
+    stage1_out = sorted((results / "stage_1" / "output").glob("*.png"))
+    assert len(stage1_out) == 5
+    assert (results / "stage_1" / "checkpoint").exists()
+    assert (results / "stage_1" / "config.json").exists()
+    assert (results / "stage_1" / "scalars.jsonl").exists()
+    for sub in ("neural_filter/concat", "neural_filter/output", "final/output"):
+        assert len(sorted((results / sub).glob("*.png"))) == 5, sub
+    assert (results / "final" / "output.mp4").exists()
+
+    # flow cache written next to the frames with the reference's naming
+    flow_dir = frames.parent / "vid_flow"
+    assert len(list(flow_dir.glob("*.npy"))) == 2 * 4
+
+    # resumability: stage-1 checkpoint restores and continues
+    from deflicker_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(results / "stage_1" / "checkpoint")
+    assert ckpt["iteration"] == 29
+    assert "params" in ckpt and "opt_state" in ckpt

@@ -1,0 +1,108 @@
+"""Stage-2 model parity + engine tests.
+
+Parity tests instantiate the reference torch UNet/TransformNet (imported
+from /root/reference) with RANDOM weights, convert via filter/convert, and
+check the flax forwards agree — validating conv/padding semantics, the
+bilinear-upsample path, reflection padding, the ConvLSTM zero-state
+reduction and the dead-InstanceNorm quirk.
+"""
+
+import sys
+from argparse import Namespace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+
+class TestUNetParity:
+    def test_matches_reference(self):
+        torch = pytest.importorskip("torch")
+        from src.models.network_filter import UNet as TorchUNet
+
+        from deflicker_tpu.filter.convert import convert_conv_state_dict
+        from deflicker_tpu.models.unet import UNet
+
+        torch.manual_seed(0)
+        tnet = TorchUNet(in_channels=6, out_channels=3, init_features=32)
+        tnet.eval()
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-1, 1, (2, 64, 96, 6)).astype(np.float32)
+        with torch.no_grad():
+            yt = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        yt = yt.numpy().transpose(0, 2, 3, 1)
+
+        variables = convert_conv_state_dict(tnet.state_dict())
+        yj = UNet(6, 3, 32).apply(variables, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(yj), yt, rtol=1e-4, atol=1e-4)
+
+
+class TestTransformNetParity:
+    def test_matches_reference(self):
+        torch = pytest.importorskip("torch")
+        from src.models.network_local import TransformNet as TorchTN
+
+        from deflicker_tpu.filter.convert import convert_conv_state_dict
+        from deflicker_tpu.models.refine import TransformNet
+
+        torch.manual_seed(0)
+        opts = Namespace(nf=32, norm="IN", model="TransformNet", blocks=5)
+        tnet = TorchTN(opts, nc_in=12, nc_out=3)
+        tnet.eval()
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 1, (1, 64, 96, 12)).astype(np.float32)
+        with torch.no_grad():
+            yt, _state = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)), None)
+        yt = yt.numpy().transpose(0, 2, 3, 1)
+
+        variables = convert_conv_state_dict(tnet.state_dict())
+        yj = TransformNet(nf=32, blocks=5, nc_out=3).apply(variables,
+                                                           jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(yj), yt, rtol=1e-4, atol=1e-4)
+
+
+class TestFilterEngine:
+    def test_end_to_end_artifacts(self, tmp_path):
+        import cv2
+
+        from deflicker_tpu.filter.engine import load_filter_engine
+
+        rng = np.random.default_rng(0)
+        content_dir = tmp_path / "vid"
+        style_dir = tmp_path / "style"
+        content_dir.mkdir()
+        style_dir.mkdir()
+        T, H, W = 3, 40, 52      # non-divisible by 32: exercises the padder
+        for t in range(T):
+            img = rng.uniform(0, 255, (H, W, 3)).astype(np.uint8)
+            cv2.imwrite(str(content_dir / f"{t:05d}.png"), img)
+            cv2.imwrite(str(style_dir / f"{t:05d}.png"), img)
+
+        engine = load_filter_engine(None, None)  # random-init smoke
+        results = tmp_path / "results"
+        refined = engine.run(content_dir, style_dir, results, fps=10)
+        assert refined.shape[0] == T
+        for sub in ("neural_filter/concat", "neural_filter/output",
+                    "final/output"):
+            files = sorted((results / sub).glob("*.png"))
+            assert len(files) == T, sub
+        out0 = cv2.imread(str(results / "final/output/00000.png"))
+        assert out0.shape == (H, W, 3)
+        assert (results / "final/output.mp4").exists()
+
+    def test_refine_first_frame_identity(self):
+        from deflicker_tpu.filter.engine import refine_sequence
+        from deflicker_tpu.models.refine import transformnet_init
+
+        lvars = transformnet_init(jax.random.key(0))
+        preds = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 1, (3, 32, 32, 3)).astype(np.float32))
+        out = np.asarray(refine_sequence(lvars, preds))
+        # O_0 = P_0 exactly (reference: frame_id == 0 branch)
+        np.testing.assert_array_equal(out[0], np.asarray(preds[0]))
