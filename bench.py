@@ -45,6 +45,9 @@ def synthetic_video_data(T, H, W, seed=0):
 
 
 def main():
+    import dataclasses
+    import os
+
     import jax
 
     from deflicker_tpu.atlas.engine import (build_specs, init_models,
@@ -54,6 +57,13 @@ def main():
     import optax
 
     cfg = AtlasConfig()          # the reference's config_flow_100 defaults
+    overrides = {}
+    if os.environ.get("BENCH_PRECISION"):
+        overrides["fit_precision"] = os.environ["BENCH_PRECISION"]
+    if os.environ.get("BENCH_PALLAS") == "1":
+        overrides["use_pallas_imlp"] = True
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
     data = synthetic_video_data(T, H, W)
     specs = build_specs(cfg, dual=False)
     params = init_models(jax.random.key(0), specs)

@@ -45,10 +45,17 @@ from .data import VideoData
 Params = Dict[str, list]
 
 
-def select_imlp_apply(use_pallas: bool = True):
-    """Pick the IMLP forward: the Pallas fused VMEM-resident kernel on TPU
-    (ops/pallas/imlp_kernel — the dominant-loop optimization), the XLA path
-    elsewhere.  DEFLICKER_NO_PALLAS=1 is the kill switch."""
+def select_imlp_apply(use_pallas: bool = False, precision: str = "highest"):
+    """Pick the IMLP forward path.
+
+    Default: the XLA path — measured FASTER than the Pallas fused kernel at
+    production batch sizes on v5e (XLA's fusion already keeps the chain on
+    the MXU well); the kernel stays available as an opt-in
+    (use_pallas_imlp=True, DEFLICKER_NO_PALLAS=1 kill switch).
+
+    `precision`: "highest" = fp32 multiplies (reference numerics);
+    "default" = bf16 multiply + fp32 accumulate (~4x MXU rate).
+    """
     import os
 
     from ..ops.pallas import fused_imlp_available
@@ -58,7 +65,9 @@ def select_imlp_apply(use_pallas: bool = True):
         from ..models.imlp import imlp_apply_fused
 
         return imlp_apply_fused
-    return imlp_apply
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    return partial(imlp_apply, precision=prec)
 
 
 class AtlasSpecs(NamedTuple):
@@ -138,7 +147,7 @@ def make_loss_fn(specs: AtlasSpecs, cfg: AtlasConfig, data: VideoData,
     T, (H, W) = data.num_frames, data.res
     L = data.larger_dim
     dual = specs.dual
-    apply_mlp = select_imlp_apply(getattr(cfg, "use_pallas_imlp", True))
+    apply_mlp = select_imlp_apply(cfg.use_pallas_imlp, cfg.fit_precision)
     d = cfg.derivative_amount
     gd_fg = cfg.global_rigidity_derivative_amount_fg
     gd_bg = cfg.global_rigidity_derivative_amount_bg
@@ -376,6 +385,17 @@ def fit_atlas(params: Params, specs: AtlasSpecs, data: VideoData,
                                      n_steps=n_steps)
         i = nxt
         rec = {k: float(v) for k, v in aux_mean.items()}
+        if not np.isfinite(rec["total"]):
+            # failure detection: dump a rescue checkpoint with the last
+            # finite state and fail loudly (the reference would silently
+            # produce garbage; SURVEY.md §5 failure-detection slot)
+            from ..utils.checkpoint import save_checkpoint
+
+            rescue = save_checkpoint("deflicker_rescue_checkpoint", {
+                "params": carry[0], "opt_state": carry[1], "iteration": i})
+            raise FloatingPointError(
+                f"non-finite loss at iteration {i - 1}: {rec} "
+                f"(state dumped to {rescue})")
         logs.append({"iteration": i - 1, **rec})
         if log_callback is not None:
             log_callback(i - 1, rec)
@@ -405,9 +425,10 @@ def pretrain_mapping(params: list, spec: IMLPSpec, key: jax.Array,
     opt_state = optimizer.init(params)
 
     def loss_fn(p, xyt):
+        from ..losses import safe_norm
+
         uv = imlp_apply(p, xyt, spec)
-        return jnp.mean(jnp.linalg.norm(xyt[:, :2] * uv_mapping_scale - uv,
-                                        axis=-1))
+        return jnp.mean(safe_norm(xyt[:, :2] * uv_mapping_scale - uv))
 
     grad_fn = jax.value_and_grad(loss_fn)
 

@@ -74,6 +74,35 @@ def render_frames(params: Params, specs: AtlasSpecs,
     return frames
 
 
+def save_mask_flow_videos(data: VideoData, results_folder: str | Path,
+                          fps: int = 10) -> None:
+    """Diagnostic videos: input video + forward-flow consistency mask
+    overlay (masked-out pixels painted red), the reference's
+    `save_mask_flow` (src/models/stage_1/unwrap_utils.py:200-231)."""
+    import cv2
+
+    results_folder = Path(results_folder)
+    results_folder.mkdir(parents=True, exist_ok=True)
+    video = np.asarray(data.video)
+    mfwd = np.asarray(data.mask_fwd)
+    T, H, W, _ = video.shape
+
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    w_in = cv2.VideoWriter(str(results_folder / "input_video.mp4"),
+                           fourcc, fps, (W, H))
+    w_mask = cv2.VideoWriter(str(results_folder / "filter_flow_0.mp4"),
+                             fourcc, fps, (W, H))
+    for t in range(T):
+        frame = video[t].copy()
+        if mfwd[t].any():
+            bad = mfwd[t] == 0
+            frame[bad] = [1.0, 0.0, 0.0]
+            w_mask.write((frame[..., ::-1] * 255).astype(np.uint8))
+        w_in.write((video[t][..., ::-1] * 255).astype(np.uint8))
+    w_in.release()
+    w_mask.release()
+
+
 def evaluate_and_save(params: Params, specs: AtlasSpecs, data: VideoData,
                       cfg: AtlasConfig, results_folder: str | Path,
                       iteration: int, opt_state=None,

@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override stage-1 iters_num")
     p.add_argument("--seed", default=None, type=int,
                    help="override stage-1 RNG seed")
+    p.add_argument("--fit_precision", choices=["highest", "default"],
+                   default=None,
+                   help="stage-1 matmul precision: highest=fp32 (reference "
+                        "numerics), default=bf16 multiply (~2x faster fit)")
     p.add_argument("--mask_provider", default=None,
                    choices=[None, "carvekit", "maskrcnn", "grabcut"],
                    help="mask backend for the seg path")
@@ -74,6 +78,8 @@ def args_to_configs(args) -> tuple[PipelineConfig, AtlasConfig]:
         overrides["evaluate_every"] = max(1, args.iters - 1)
     if args.seed is not None:
         overrides["seed"] = args.seed
+    if args.fit_precision is not None:
+        overrides["fit_precision"] = args.fit_precision
     if overrides:
         atlas_cfg = dataclasses.replace(atlas_cfg, **overrides)
     return cfg, atlas_cfg

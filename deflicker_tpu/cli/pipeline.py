@@ -91,6 +91,12 @@ def run_stage1(frames_dir: Path, cfg: PipelineConfig,
                            use_masks=dual)
     T, (H, W) = data.num_frames, data.res
 
+    # diagnostic masked-flow / input videos (reference: save_mask_flow call
+    # at stage1_neural_atlas.py:110)
+    from ..atlas.render import save_mask_flow_videos
+
+    save_mask_flow_videos(data, results_folder)
+
     specs = build_specs(atlas_cfg, dual=dual)
     key = jax.random.key(atlas_cfg.seed)
     k_init, k_pre1, k_pre2, k_fit = jax.random.split(key, 4)
@@ -121,12 +127,21 @@ def run_stage1(frames_dir: Path, cfg: PipelineConfig,
         evaluate_and_save(p, specs, data, atlas_cfg, results_folder,
                           iteration, opt)
 
+    # optional profiler trace of the fit (DEFLICKER_PROFILE=<dir>)
+    import contextlib
+    import os
+
+    prof_dir = os.environ.get("DEFLICKER_PROFILE")
+    prof_ctx = (jax.profiler.trace(prof_dir) if prof_dir
+                else contextlib.nullcontext())
+
     t2 = time.time()
-    result = fit_atlas(params, specs, data, atlas_cfg, k_fit,
-                       start_iteration=start_iteration, opt_state=opt_state,
-                       eval_callback=eval_cb,
-                       log_callback=lambda i, rec: logger.log(i, rec),
-                       mesh=mesh)
+    with prof_ctx:
+        result = fit_atlas(params, specs, data, atlas_cfg, k_fit,
+                           start_iteration=start_iteration,
+                           opt_state=opt_state, eval_callback=eval_cb,
+                           log_callback=lambda i, rec: logger.log(i, rec),
+                           mesh=mesh)
     t_fit = time.time() - t2
 
     # final render (the reference's eval at iteration iters_num-1 == 10000)
@@ -134,6 +149,13 @@ def run_stage1(frames_dir: Path, cfg: PipelineConfig,
     rendered, mean_psnr = evaluate_and_save(
         result.params, specs, data, atlas_cfg, results_folder,
         result.iteration - 1, result.opt_state)
+    if dual:
+        # fg/bg texture PNGs + alpha maps (the dual evaluator's artifact
+        # set, reference: evaluate.py:203-602)
+        from ..atlas.texture import export_atlas_artifacts
+
+        export_atlas_artifacts(result.params, specs, data,
+                               results_folder / "texture")
     t_render = time.time() - t3
     logger.close()
 

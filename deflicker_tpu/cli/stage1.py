@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="./pretrained_weights/raft-things.pth", type=str)
     p.add_argument("--max_long_edge", type=int, default=2000)
     p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--fit_precision", choices=["highest", "default"],
+                   default=None, help="fit matmul precision (see AtlasConfig)")
     p.add_argument("--mesh_devices", type=int, default=None)
     return p
 
@@ -56,6 +58,9 @@ def main(argv=None) -> int:
         atlas_cfg = dataclasses.replace(
             atlas_cfg, iters_num=args.iters,
             evaluate_every=max(1, args.iters - 1))
+    if args.fit_precision is not None:
+        atlas_cfg = dataclasses.replace(atlas_cfg,
+                                        fit_precision=args.fit_precision)
 
     frames_dir = Path(args.root) / args.vid_name
     if dual:

@@ -80,6 +80,14 @@ class AtlasConfig:
     # RNG seed for the fit (the reference stage-1 is unseeded; we define
     # seeded behavior for reproducibility).
     seed: int = 0
+    # Matmul precision for the fit MLPs: "highest" = full fp32 (reference
+    # numerics), "default" = bf16 multiply + fp32 accumulate (~4x MXU rate;
+    # params/optimizer stay fp32).  See bench notes in BASELINE.md.
+    fit_precision: str = "highest"
+    # Use the Pallas fused-MLP kernel on TPU.  Measured SLOWER than XLA's
+    # own fusion at the production batch sizes (80 vs 108 it/s on v5e) —
+    # kept as an opt-in for future tuning.
+    use_pallas_imlp: bool = False
 
     def to_reference_json(self) -> dict:
         """Dump only the reference-compatible key set."""

@@ -18,6 +18,21 @@ import jax
 import jax.numpy as jnp
 
 
+def safe_norm(x: jax.Array, axis: int = -1) -> jax.Array:
+    """L2 norm with a well-defined gradient at 0.
+
+    `jnp.linalg.norm` has gradient 0/0 = NaN at exactly-zero vectors.  The
+    reference never evaluates the norm there because it dynamically FILTERS
+    samples before the norm (loss_utils.py:326-356); our static-shape
+    multiply-by-mask formulation evaluates it for masked-out samples too —
+    where flow is zero and nearby uv values can collide bitwise — and
+    0 * NaN would poison the masked mean.  sqrt(max(ss, tiny)) has zero
+    gradient at ss == 0 and is exact for ||x|| > 1e-12.
+    """
+    ss = jnp.sum(x * x, axis=axis)
+    return jnp.sqrt(jnp.maximum(ss, 1e-24))
+
+
 def masked_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
     """sum(values * mask) / sum(mask), 0 when the mask is empty.
 
@@ -80,13 +95,22 @@ def rigidity_loss(uv: jax.Array, uv_yminus: jax.Array, uv_xminus: jax.Array,
     ar = a + 0.001
     dr = d + 0.001
     det = ar * dr - b * c
+    # the reference divides by the raw det (loss_utils.py:270-271); a det
+    # crossing zero at a degenerate Jacobian turns the whole fit NaN — keep
+    # a sign-preserving floor (exact away from |det| < 1e-12)
+    det = jnp.where(det >= 0, jnp.maximum(det, 1e-12),
+                    jnp.minimum(det, -1e-12))
     inv_a = dr / det
     inv_b = -b / det
     inv_c = -c / det
     inv_d = ar / det
 
-    norm_jtj = jnp.sqrt(a * a + b * b + c * c + d * d)
-    norm_inv = jnp.sqrt(inv_a ** 2 + inv_b ** 2 + inv_c ** 2 + inv_d ** 2)
+    # sqrt at exactly 0 has an infinite gradient; a locally-saturated
+    # mapping (tanh pinned at +-1) collapses all finite differences to 0 and
+    # would NaN the fit — floor keeps the gradient finite (exact elsewhere)
+    norm_jtj = jnp.sqrt(jnp.maximum(a * a + b * b + c * c + d * d, 1e-24))
+    norm_inv = jnp.sqrt(jnp.maximum(
+        inv_a ** 2 + inv_b ** 2 + inv_c ** 2 + inv_d ** 2, 1e-24))
     per_sample = norm_jtj + norm_inv
     return jnp.mean(per_sample) if reduce else per_sample
 
@@ -105,8 +129,8 @@ def flow_loss(uv: jax.Array, uv_match_fwd: jax.Array, uv_match_bwd: jax.Array,
     where alpha is hardwired to one.
     """
     scale = larger_dim / (2.0 * uv_mapping_scale)
-    err_fwd = jnp.linalg.norm(uv_match_fwd - uv, axis=-1) * scale
-    err_bwd = jnp.linalg.norm(uv_match_bwd - uv, axis=-1) * scale
+    err_fwd = safe_norm(uv_match_fwd - uv) * scale
+    err_bwd = safe_norm(uv_match_bwd - uv) * scale
     if isinstance(alpha, (int, float)):
         alpha_w = jnp.asarray(alpha, err_fwd.dtype)
         a_fwd = err_fwd * alpha_w
