@@ -81,9 +81,11 @@ class AtlasConfig:
     # seeded behavior for reproducibility).
     seed: int = 0
     # Matmul precision for the fit MLPs: "highest" = full fp32 (reference
-    # numerics), "default" = bf16 multiply + fp32 accumulate (~4x MXU rate;
-    # params/optimizer stay fp32).  See bench notes in BASELINE.md.
-    fit_precision: str = "highest"
+    # numerics), "default" = bf16 multiply + fp32 accumulate (~2x measured
+    # fit speed; params/optimizer stay fp32).  Validated on the bundled test
+    # video at 10k iters: bf16 20.20 dB vs fp32 19.78 dB reconstruction
+    # PSNR — no quality loss, so bf16 is the default.  See BASELINE.md.
+    fit_precision: str = "default"
     # Use the Pallas fused-MLP kernel on TPU.  Measured SLOWER than XLA's
     # own fusion at the production batch sizes (80 vs 108 it/s on v5e) —
     # kept as an opt-in for future tuning.
