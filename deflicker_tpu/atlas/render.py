@@ -74,6 +74,104 @@ def render_frames(params: Params, specs: AtlasSpecs,
     return frames
 
 
+@partial(jax.jit, static_argnames=("specs", "cfg"))
+def render_diagnostics(params: Params, specs: AtlasSpecs, data: VideoData,
+                       f: jax.Array, cfg: AtlasConfig) -> Dict[str, jax.Array]:
+    """Per-pixel diagnostic maps for one frame: reconstruction, residual,
+    rigidity loss, flow loss — the reference's `_all` loss visualizations
+    (loss_utils.py:283-295,360-382; evaluate.py:672-712)."""
+    from ..losses import rigidity_loss, safe_norm
+    from ..models.imlp import imlp_apply
+    from .engine import _squash_alpha
+
+    T, (H, W) = data.num_frames, data.res
+    L = data.larger_dim
+    d = cfg.derivative_amount
+    ii, jj = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    j = jj.reshape(-1)
+    i = ii.reshape(-1)
+    ff = jnp.full((H * W,), f)
+
+    ffwd = data.flow_fwd[ff, i, j]
+    mfwd = data.mask_fwd[ff, i, j]
+
+    def uv_at(jx, iy, fz):
+        return imlp_apply(params["mapping1"],
+                          normalize_xyt(jx, iy, fz, L, T), specs.mapping1)
+
+    uv = uv_at(j, i, ff)
+    uv_ym = uv_at(j, i - d, ff)
+    uv_xm = uv_at(j - d, i, ff)
+    uv_fwd = uv_at(j + ffwd[:, 0], i + ffwd[:, 1],
+                   ff.astype(jnp.float32) + 1.0)
+
+    rgb1 = (imlp_apply(params["atlas"], uv * 0.5 + 0.5, specs.atlas) + 1) * 0.5
+    if specs.dual:
+        uv2 = imlp_apply(params["mapping2"],
+                         normalize_xyt(j, i, ff, L, T), specs.mapping2)
+        rgb2 = (imlp_apply(params["atlas"], uv2 * 0.5 - 0.5,
+                           specs.atlas) + 1) * 0.5
+        a = _squash_alpha(imlp_apply(params["alpha"],
+                                     normalize_xyt(j, i, ff, L, T),
+                                     specs.alpha))
+        rgb = rgb1 * a + rgb2 * (1.0 - a)
+    else:
+        rgb = rgb1
+
+    rig = rigidity_loss(uv, uv_ym, uv_xm, d, L, cfg.uv_mapping_scale,
+                        reduce=False)
+    flow_err = (safe_norm(uv_fwd - uv) * L / (2.0 * cfg.uv_mapping_scale)
+                * mfwd)
+    gt = data.video[f].reshape(H * W, 3)
+    return {
+        "rgb": rgb.reshape(H, W, 3),
+        "residual": (gt - rgb).reshape(H, W, 3),
+        "uv1": uv.reshape(H, W, 2),
+        "rigidity_map": rig.reshape(H, W),
+        "flow_map": flow_err.reshape(H, W),
+        "rgb_error_map": jnp.sum((gt - rgb) ** 2, axis=-1).reshape(H, W),
+    }
+
+
+def save_diagnostic_videos(params: Params, specs: AtlasSpecs,
+                           data: VideoData, cfg: AtlasConfig,
+                           results_folder: str | Path, fps: int = 10) -> None:
+    """residuals / uv / per-pixel-loss mp4s (the reference evaluator's
+    visualization set, evaluate.py:729-773 single path)."""
+    import cv2
+
+    results_folder = Path(results_folder)
+    results_folder.mkdir(parents=True, exist_ok=True)
+    T, (H, W) = data.num_frames, data.res
+
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    writers = {name: cv2.VideoWriter(str(results_folder / f"{name}.mp4"),
+                                     fourcc, fps, (W, H))
+               for name in ("residuals", "uv_1", "rigidity_loss",
+                            "flow_loss", "rgb_error")}
+    try:
+        for f in range(T):
+            diag = jax.tree_util.tree_map(
+                np.asarray, render_diagnostics(params, specs, data, f, cfg))
+            res = np.clip(diag["residual"] + 0.5, 0, 1)
+            writers["residuals"].write(
+                (res[..., ::-1] * 255).astype(np.uint8))
+            # uv in [-1,1] -> [0,1] (normalize_uv_images with edge 1)
+            uv_img = np.zeros((H, W, 3), np.float32)
+            uv_img[..., :2] = np.clip(diag["uv1"] * 0.5 + 0.5, 0, 1)
+            writers["uv_1"].write((uv_img[..., ::-1] * 255).astype(np.uint8))
+            for name, key, scale in (("rigidity_loss", "rigidity_map", None),
+                                     ("flow_loss", "flow_map", None),
+                                     ("rgb_error", "rgb_error_map", None)):
+                m = diag[key]
+                m = m / max(float(m.max()), 1e-6)
+                gray = (np.stack([m] * 3, -1) * 255).astype(np.uint8)
+                writers[name].write(gray)
+    finally:
+        for w in writers.values():
+            w.release()
+
+
 def save_mask_flow_videos(data: VideoData, results_folder: str | Path,
                           fps: int = 10) -> None:
     """Diagnostic videos: input video + forward-flow consistency mask
@@ -134,6 +232,8 @@ def evaluate_and_save(params: Params, specs: AtlasSpecs, data: VideoData,
 
     if save_video:
         frames_to_video(out_dir, results_folder / "reconstruction.mp4", fps=10)
+    if cfg.save_diagnostics:
+        save_diagnostic_videos(params, specs, data, cfg, results_folder)
 
     if save_ckpt:
         save_checkpoint(results_folder / "checkpoint", {

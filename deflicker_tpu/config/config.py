@@ -90,6 +90,9 @@ class AtlasConfig:
     # own fusion at the production batch sizes (80 vs 108 it/s on v5e) —
     # kept as an opt-in for future tuning.
     use_pallas_imlp: bool = False
+    # Write residual/uv/per-pixel-loss diagnostic mp4s at evaluation (the
+    # reference evaluator's visualization set; off by default — host-bound).
+    save_diagnostics: bool = False
 
     def to_reference_json(self) -> dict:
         """Dump only the reference-compatible key set."""

@@ -305,18 +305,123 @@ def corr_lookup(pyramid: Sequence[jax.Array], coords: jax.Array,
     return jnp.concatenate(out, axis=-1).reshape(B, H, W, len(pyramid) * K * K)
 
 
+def build_fmap_pyramid(fmap2: jax.Array,
+                       num_levels: int = CORR_LEVELS) -> Sequence[jax.Array]:
+    """Mean-pool pyramid of fmap2 for the ONLINE corr path (B, H_l, W_l, D).
+
+    mean-pooling features then dotting == pooling the correlation volume
+    (linearity), so this reproduces `build_corr_pyramid` + lookup without
+    ever materializing the (H*W)^2 volume — the reference's
+    AlternateCorrBlock role (corr.py:67-95, the optional alt_cuda_corr CUDA
+    extension), re-expressed for XLA.
+    """
+    pyr = [fmap2]
+    for _ in range(num_levels - 1):
+        f = pyr[-1]
+        h2, w2 = (f.shape[1] // 2) * 2, (f.shape[2] // 2) * 2
+        f = f[:, :h2, :w2]
+        f = f.reshape(f.shape[0], h2 // 2, 2, w2 // 2, 2,
+                      f.shape[-1]).mean(axis=(2, 4))
+        pyr.append(f)
+    return pyr
+
+
+def _bilinear_feature_gather(vol: jax.Array, xs: jax.Array,
+                             ys: jax.Array) -> jax.Array:
+    """vol (H, W, D); xs/ys (C, K) -> (C, K, D), zeros outside."""
+    H, W, D = vol.shape
+    flat = vol.reshape(H * W, D)
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    wx = (xs - x0)[..., None]
+    wy = (ys - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def g(iy, ix):
+        valid = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+        idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+        return jnp.where(valid[..., None], flat[idx.reshape(-1)].reshape(
+            idx.shape + (D,)), 0.0)
+
+    v00 = g(y0i, x0i)
+    v01 = g(y0i, x0i + 1)
+    v10 = g(y0i + 1, x0i)
+    v11 = g(y0i + 1, x0i + 1)
+    return ((v00 * (1 - wx) + v01 * wx) * (1 - wy)
+            + (v10 * (1 - wx) + v11 * wx) * wy)
+
+
+def corr_lookup_online(fmap1: jax.Array, fmap2_pyramid: Sequence[jax.Array],
+                       coords: jax.Array, radius: int = CORR_RADIUS,
+                       chunk: int = 2048) -> jax.Array:
+    """Window correlation computed on the fly (no materialized volume).
+
+    Numerically equivalent to `build_corr_pyramid` + `corr_lookup` (same
+    channel order); O(H*W * 81 * D) work per level but only
+    O(chunk * 81 * D) live memory — pixel chunks stream through `lax.map`.
+    Use when (H*W/64)^2 won't fit HBM (long-edge ~2000px inputs).
+    """
+    B, H, W, D = fmap1.shape
+    K = 2 * radius + 1
+    off = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    off_x = jnp.repeat(off, K)
+    off_y = jnp.tile(off, K)
+    inv_sqrt_d = 1.0 / jnp.sqrt(jnp.float32(D))
+
+    N = H * W
+    pad = (-N) % chunk
+    n_chunks = (N + pad) // chunk
+
+    outs = []
+    for b in range(B):
+        f1 = fmap1[b].reshape(N, D)
+        cx = coords[b, ..., 0].reshape(N)
+        cy = coords[b, ..., 1].reshape(N)
+        if pad:
+            f1 = jnp.pad(f1, ((0, pad), (0, 0)))
+            cx = jnp.pad(cx, (0, pad))
+            cy = jnp.pad(cy, (0, pad))
+        f1c = f1.reshape(n_chunks, chunk, D)
+        cxc = cx.reshape(n_chunks, chunk)
+        cyc = cy.reshape(n_chunks, chunk)
+        pyr_b = [lvl[b] for lvl in fmap2_pyramid]
+
+        def one_chunk(args):
+            f1_, cx_, cy_ = args
+            lvls = []
+            for l, vol in enumerate(pyr_b):
+                xs = cx_[:, None] / (2.0 ** l) + off_x[None, :]
+                ys = cy_[:, None] / (2.0 ** l) + off_y[None, :]
+                feats = _bilinear_feature_gather(vol, xs, ys)  # (C, K2, D)
+                lvls.append(jnp.einsum("ckd,cd->ck", feats, f1_,
+                                       preferred_element_type=jnp.float32)
+                            * inv_sqrt_d)
+            return jnp.concatenate(lvls, axis=-1)
+
+        corr = jax.lax.map(one_chunk, (f1c, cxc, cyc))
+        corr = corr.reshape(n_chunks * chunk, -1)[:N]
+        outs.append(corr.reshape(H, W, -1))
+    return jnp.stack(outs, axis=0)
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("iters", "dtype"))
+@functools.partial(jax.jit, static_argnames=("iters", "dtype", "corr_mode"))
 def raft_flow(variables: Dict, image1: jax.Array, image2: jax.Array,
-              iters: int = 20, dtype=jnp.float32
+              iters: int = 20, dtype=jnp.float32, corr_mode: str = "auto"
               ) -> Tuple[jax.Array, jax.Array]:
     """Estimate flow image1 -> image2 (raft.py:93-146, test_mode semantics).
 
     image1/image2: (B, H, W, 3) in [0, 255], H and W divisible by 8.
     Returns (flow_low (B, H/8, W/8, 2), flow_up (B, H, W, 2)).
+
+    corr_mode: 'materialized' = all-pairs volume + pyramid (one big MXU
+    matmul, HBM-heavy); 'online' = window correlation on the fly
+    (AlternateCorrBlock role — O(HW*81*D) compute, tiny memory); 'auto'
+    picks online when the materialized pyramid would exceed ~2 GB.
     """
     model = RAFTModules(dtype=dtype)
     im1 = (2.0 * (image1 / 255.0) - 1.0).astype(dtype)
@@ -329,7 +434,17 @@ def raft_flow(variables: Dict, image1: jax.Array, image2: jax.Array,
                   method=lambda m, x: m.fnet(x)).astype(jnp.float32)
     B = im1.shape[0]
     fmap1, fmap2 = fmaps[:B], fmaps[B:]
-    pyramid = build_corr_pyramid(fmap1, fmap2)
+
+    n_pix = (image1.shape[1] // 8) * (image1.shape[2] // 8)
+    if corr_mode == "auto":
+        volume_bytes = B * n_pix * n_pix * 4 * 1.34   # pyramid ~ 4/3 level 0
+        corr_mode = "online" if volume_bytes > 2e9 else "materialized"
+    if corr_mode == "materialized":
+        pyramid = build_corr_pyramid(fmap1, fmap2)
+        lookup = lambda coords: corr_lookup(pyramid, coords)
+    else:
+        fpyr = build_fmap_pyramid(fmap2)
+        lookup = lambda coords: corr_lookup_online(fmap1, fpyr, coords)
 
     cnet = apply(im1, method=lambda m, x: m.cnet(x))
     net = jnp.tanh(cnet[..., :HIDDEN_DIM])
@@ -343,7 +458,7 @@ def raft_flow(variables: Dict, image1: jax.Array, image2: jax.Array,
 
     def step(carry, _):
         net, coords1 = carry
-        corr = corr_lookup(pyramid, jax.lax.stop_gradient(coords1))
+        corr = lookup(jax.lax.stop_gradient(coords1))
         flow = coords1 - coords0
         net, delta = apply(net, inp, corr.astype(dtype), flow.astype(dtype),
                            method=lambda m, *a: m.update_block(*a))

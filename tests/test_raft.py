@@ -109,3 +109,42 @@ class TestFlowEngine:
         mtimes = [p.stat().st_mtime_ns for p in paths]
         paths2 = preprocess_optical_flow(frames, FarnebackFlow(), verbose=False)
         assert [p.stat().st_mtime_ns for p in paths2] == mtimes
+
+
+class TestOnlineCorr:
+    def test_matches_materialized(self):
+        import jax.numpy as jnp
+
+        from deflicker_tpu.models.raft import (build_corr_pyramid,
+                                               build_fmap_pyramid,
+                                               corr_lookup,
+                                               corr_lookup_online)
+
+        rng = np.random.default_rng(0)
+        f1 = jnp.asarray(rng.normal(size=(2, 16, 20, 32)).astype(np.float32))
+        f2 = jnp.asarray(rng.normal(size=(2, 16, 20, 32)).astype(np.float32))
+        ys, xs = jnp.meshgrid(jnp.arange(16.0), jnp.arange(20.0),
+                              indexing="ij")
+        coords = jnp.broadcast_to(jnp.stack([xs, ys], -1)[None],
+                                  (2, 16, 20, 2))
+        coords = coords + jnp.asarray(
+            rng.uniform(-3, 3, coords.shape).astype(np.float32))
+        a = corr_lookup(build_corr_pyramid(f1, f2), coords)
+        b = corr_lookup_online(f1, build_fmap_pyramid(f2), coords, chunk=64)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_raft_flow_online_mode_runs(self):
+        import jax
+
+        from deflicker_tpu.models.raft import raft_flow, raft_init
+
+        variables = raft_init(jax.random.key(0), image_hw=(128, 160))
+        rng = np.random.default_rng(0)
+        im1 = jnp.asarray(rng.uniform(0, 255, (1, 128, 160, 3)).astype(np.float32))
+        im2 = jnp.asarray(rng.uniform(0, 255, (1, 128, 160, 3)).astype(np.float32))
+        low_m, up_m = raft_flow(variables, im1, im2, iters=2,
+                                corr_mode="materialized")
+        low_o, up_o = raft_flow(variables, im1, im2, iters=2,
+                                corr_mode="online")
+        np.testing.assert_allclose(np.asarray(up_o), np.asarray(up_m),
+                                   rtol=1e-3, atol=1e-3)
