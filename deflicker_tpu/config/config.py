@@ -86,10 +86,11 @@ class AtlasConfig:
     # video at 10k iters: bf16 20.20 dB vs fp32 19.78 dB reconstruction
     # PSNR — no quality loss, so bf16 is the default.  See BASELINE.md.
     fit_precision: str = "default"
-    # Use the Pallas fused-MLP kernel on TPU.  Measured SLOWER than XLA's
-    # own fusion at the production batch sizes (80 vs 108 it/s on v5e) —
-    # kept as an opt-in for future tuning.
-    use_pallas_imlp: bool = False
+    # Use the Pallas fused-MLP kernel on TPU for the bf16 fit path: the
+    # VMEM-resident chain measured 265 it/s vs XLA's 208 on v5e (the fp32
+    # kernel variant is slower than XLA, so fit_precision="highest" always
+    # takes the XLA path).  DEFLICKER_NO_PALLAS=1 is the kill switch.
+    use_pallas_imlp: bool = True
     # Write residual/uv/per-pixel-loss diagnostic mp4s at evaluation (the
     # reference evaluator's visualization set; off by default — host-bound).
     save_diagnostics: bool = False

@@ -87,18 +87,21 @@ def imlp_init(key: jax.Array, spec: IMLPSpec, dtype=jnp.float32):
 
 
 def imlp_apply_fused(params, x: jax.Array, spec: IMLPSpec,
-                     tile: int = 512, interpret: bool = False) -> jax.Array:
+                     tile: int = 512, interpret: bool = False,
+                     compute_dtype=jnp.float32) -> jax.Array:
     """IMLP forward via the Pallas fused linear-chain kernel
     (ops/pallas/imlp_kernel): positional encoding + stop-gradient skip
     handling here, the whole matmul chain in one VMEM-resident kernel.
-    Numerically equivalent to `imlp_apply` (same HIGHEST-precision dots).
+    compute_dtype=float32 matches `imlp_apply` at HIGHEST precision;
+    bfloat16 matches the engine's fit_precision='default' numerics.
     """
     from ..ops.pallas import fused_imlp_linear_chain
 
     if spec.use_positional:
         x = positional_encoding(x, spec.positional_dim)
     h = fused_imlp_linear_chain(params, x, spec, tile=tile,
-                                interpret=interpret)
+                                interpret=interpret,
+                                compute_dtype=compute_dtype)
     if spec.use_tanh:
         h = jnp.tanh(h)
     if spec.apply_softmax:

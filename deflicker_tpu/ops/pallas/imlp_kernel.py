@@ -50,6 +50,13 @@ from ...models.imlp import IMLPSpec
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def _prec_for(cdt):
+    """Mosaic rejects an fp32 contract-precision attribute on bf16 operands
+    ('Bad lhs type'); bf16 inputs with f32 preferred_element_type already
+    accumulate in f32, so default precision is exact there."""
+    return _PREC if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
 def fused_imlp_available() -> bool:
     return _PALLAS_OK and jax.default_backend() == "tpu"
 
@@ -62,8 +69,9 @@ def _round_up(x: int, m: int) -> int:
 # kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(spec: IMLPSpec, n_layers: int, *refs):
-    """refs = [x_ref, W0, b0, W1, b1, ..., out_ref]."""
+def _fwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
+    """refs = [x_ref, W0, b0, W1, b1, ..., out_ref].  cdt = multiply dtype
+    (f32 -> full precision; bf16 -> 4x MXU rate, f32 accumulation)."""
     x_ref = refs[0]
     out_ref = refs[1 + 2 * n_layers]
     x = x_ref[...]
@@ -75,12 +83,13 @@ def _fwd_kernel(spec: IMLPSpec, n_layers: int, *refs):
             h = jnp.maximum(h, 0.0)
         if i in spec.skip_layers:
             h = jnp.concatenate([h, x], axis=-1)
-        h = jnp.dot(h, W, preferred_element_type=jnp.float32,
-                    precision=_PREC) + b
+        h = jnp.dot(h.astype(cdt), W.astype(cdt),
+                    preferred_element_type=jnp.float32,
+                    precision=_prec_for(cdt)) + b
     out_ref[...] = h
 
 
-def _bwd_kernel(spec: IMLPSpec, n_layers: int, *refs):
+def _bwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
     """refs = [x_ref, W0, b0, ..., g_ref]  +  outputs [dx_ref, dW0, db0, ...]
     + scratch accumulators [aW0, ab0, ...].
 
@@ -110,20 +119,23 @@ def _bwd_kernel(spec: IMLPSpec, n_layers: int, *refs):
         if i in spec.skip_layers:
             h = jnp.concatenate([h, x], axis=-1)
         layer_inputs.append(h)
-        h = jnp.dot(h, W, preferred_element_type=jnp.float32,
-                    precision=_PREC) + b
+        h = jnp.dot(h.astype(cdt), W.astype(cdt),
+                    preferred_element_type=jnp.float32,
+                    precision=_prec_for(cdt)) + b
 
     # reverse pass
     g = g_ref[...]
     dx = jnp.zeros_like(x)
     for i in reversed(range(n_layers)):
         a_in = layer_inputs[i]
-        dW = jnp.dot(a_in.T, g, preferred_element_type=jnp.float32,
-                     precision=_PREC)
+        dW = jnp.dot(a_in.T.astype(cdt), g.astype(cdt),
+                     preferred_element_type=jnp.float32,
+                     precision=_prec_for(cdt))
         db = jnp.sum(g, axis=0, keepdims=True)
         W = refs[1 + 2 * i][...]
-        g = jnp.dot(g, W.T, preferred_element_type=jnp.float32,
-                    precision=_PREC)
+        g = jnp.dot(g.astype(cdt), W.T.astype(cdt),
+                    preferred_element_type=jnp.float32,
+                    precision=_prec_for(cdt))
         if i in spec.skip_layers:
             # drop the skip branch's gradient (stop_gradient semantics)
             g = g[:, :a_in.shape[1] - x.shape[1]]
@@ -167,13 +179,13 @@ def _pack(params) -> Sequence[jax.Array]:
     return flat
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _chain(packed: Tuple[jax.Array, ...], xe: jax.Array, spec: IMLPSpec,
-           tile: int, interpret: bool) -> jax.Array:
-    return _chain_fwd(packed, xe, spec, tile, interpret)[0]
+           tile: int, interpret: bool, compute_dtype=jnp.float32) -> jax.Array:
+    return _chain_fwd(packed, xe, spec, tile, interpret, compute_dtype)[0]
 
 
-def _call_fwd(packed, xe, spec, tile, interpret):
+def _call_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32):
     n_layers = len(packed) // 2
     B, E = xe.shape
     O = packed[-2].shape[1]
@@ -188,7 +200,7 @@ def _call_fwd(packed, xe, spec, tile, interpret):
                                      memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((tile, O), lambda t: (t, 0),
                             memory_space=pltpu.VMEM)
-    kern = functools.partial(_fwd_kernel, spec, n_layers)
+    kern = functools.partial(_fwd_kernel, spec, n_layers, compute_dtype)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -199,12 +211,12 @@ def _call_fwd(packed, xe, spec, tile, interpret):
     )(xe, *packed)
 
 
-def _chain_fwd(packed, xe, spec, tile, interpret):
-    y = _call_fwd(packed, xe, spec, tile, interpret)
+def _chain_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32):
+    y = _call_fwd(packed, xe, spec, tile, interpret, compute_dtype)
     return y, (packed, xe)
 
 
-def _chain_bwd(spec, tile, interpret, res, g):
+def _chain_bwd(spec, tile, interpret, compute_dtype, res, g):
     packed, xe = res
     n_layers = len(packed) // 2
     B, E = xe.shape
@@ -237,7 +249,7 @@ def _chain_bwd(spec, tile, interpret, res, g):
         scratch.append(pltpu.VMEM(W.shape, jnp.float32))
         scratch.append(pltpu.VMEM(b.shape, jnp.float32))
 
-    kern = functools.partial(_bwd_kernel, spec, n_layers)
+    kern = functools.partial(_bwd_kernel, spec, n_layers, compute_dtype)
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -256,8 +268,8 @@ _chain.defvjp(_chain_fwd, _chain_bwd)
 
 
 def fused_imlp_linear_chain(params, xe: jax.Array, spec: IMLPSpec,
-                            tile: int = 512,
-                            interpret: bool = False) -> jax.Array:
+                            tile: int = 512, interpret: bool = False,
+                            compute_dtype=jnp.float32) -> jax.Array:
     """Fused linear-relu(-skip) chain on PRE-ENCODED input xe (B, E).
 
     Returns the pre-tanh output (B, output_dim).  Pads the batch to a tile
@@ -267,5 +279,6 @@ def fused_imlp_linear_chain(params, xe: jax.Array, spec: IMLPSpec,
     Bp = _round_up(max(B, tile), tile)
     if Bp != B:
         xe = jnp.pad(xe, ((0, Bp - B), (0, 0)))
-    y = _chain(tuple(_pack(params)), xe, spec, tile, interpret)
+    y = _chain(tuple(_pack(params)), xe, spec, tile, interpret,
+               compute_dtype)
     return y[:B]

@@ -69,3 +69,47 @@ def test_full_pipeline_artifacts(tiny_video_dir):
     ckpt = load_checkpoint(results / "stage_1" / "checkpoint")
     assert ckpt["iteration"] == 29
     assert "params" in ckpt and "opt_state" in ckpt
+
+
+def test_dual_pipeline_with_precomputed_masks(tiny_video_dir):
+    """Seg path end-to-end with masks already on disk (the PrecomputedMasks
+    contract): dual-atlas fit + texture export + stage 2."""
+    import dataclasses
+
+    import cv2
+
+    from deflicker_tpu.cli.pipeline import run_pipeline
+    from deflicker_tpu.config import AtlasConfig, PipelineConfig
+
+    tmp, frames = tiny_video_dir
+    seg = frames.parent / "vid_seg"
+    seg.mkdir()
+    mask = np.zeros((48, 64), np.uint8)
+    mask[10:30, 20:50] = 255
+    for t in range(5):
+        cv2.imwrite(str(seg / f"{t:05d}.png"), mask)
+
+    cfg = PipelineConfig(
+        video_frame_folder=str(frames), root=str(frames.parent),
+        results_root=str(tmp / "results_seg"), down=2,
+        class_name="anything", mask_provider="grabcut",  # files exist: reused
+        ckpt_raft=str(tmp / "missing.pth"),
+        ckpt_filter=None, ckpt_local=None)
+    atlas_cfg = dataclasses.replace(
+        AtlasConfig(), iters_num=20, samples_batch=128, steps_per_call=10,
+        evaluate_every=19, pretrain_iter_number=2,
+        number_of_channels_atlas=32, number_of_layers_atlas=4,
+        number_of_channels_alpha=32, number_of_layers_alpha=4,
+        number_of_channels_mapping1=32, number_of_layers_mapping1=3,
+        number_of_channels_mapping2=32, number_of_layers_mapping2=3,
+        stop_global_rigidity=10, stop_bootstrapping_iteration=15)
+
+    out = run_pipeline(cfg, atlas_cfg)
+    results = tmp / "results_seg" / "vid"
+    assert len(sorted((results / "stage_1" / "output").glob("*.png"))) == 5
+    # dual-atlas artifact set
+    tex = results / "stage_1" / "texture"
+    assert (tex / "texture1.png").exists()
+    assert (tex / "texture2.png").exists()
+    assert len(sorted((tex / "alpha").glob("*.png"))) == 5
+    assert len(sorted((results / "final" / "output").glob("*.png"))) == 5
