@@ -213,8 +213,26 @@ def run_pipeline(cfg: PipelineConfig,
     total = time.time() - t_start
     out = {**s1, **s2, "t_total": total,
            "frames_per_sec": s1["num_frames"] / total}
+
+    # final-output temporal-consistency metrics (E_warp needs the cached
+    # flow; skip silently if unavailable)
+    try:
+        from .evaluate import compute_video_metrics
+
+        m = compute_video_metrics(frames_dir, s2["final_dir"])
+        out["final_psnr"] = m["psnr_mean"]
+        if "ewarp_mean" in m:
+            out["final_ewarp"] = m["ewarp_mean"]
+            m_in = compute_video_metrics(frames_dir, frames_dir)
+            out["input_ewarp"] = m_in.get("ewarp_mean")
+    except Exception as e:                     # metrics must never kill a run
+        print(f"[deflicker_tpu] final metrics skipped: {e}")
+
+    ew = (f", E_warp {out['input_ewarp']*100:.3f} -> "
+          f"{out['final_ewarp']*100:.3f} (x100)"
+          if out.get("final_ewarp") is not None else "")
     print(f"[deflicker_tpu] {frames_dir.name}: {s1['num_frames']} frames in "
           f"{total:.1f}s ({out['frames_per_sec']:.2f} fps end-to-end), "
           f"stage-1 PSNR {s1['psnr']:.2f} dB, "
-          f"fit {s1['iters_per_sec']:.1f} it/s")
+          f"fit {s1['iters_per_sec']:.1f} it/s{ew}")
     return out

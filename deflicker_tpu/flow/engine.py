@@ -108,28 +108,56 @@ class FarnebackFlow:
 
 def preprocess_optical_flow(frames_dir: str | Path, provider: FlowProvider,
                             max_long_edge: int = 2000,
-                            verbose: bool = True) -> List[Path]:
+                            verbose: bool = True,
+                            pair_batch: int = 4) -> List[Path]:
     """Compute+cache flow for all adjacent pairs of `frames_dir`.
 
     Mirrors `preprocess(args)` (src/preprocess_optical_flow.py:10-48):
     idempotent per pair, long-edge-capped inputs, fwd+bwd `.npy` outputs.
     Returns the list of written/reused forward-flow paths.
+
+    TPU redesign: uncached pairs run through RAFT in batches of
+    `pair_batch` pairs x 2 directions per device call (the reference does
+    one direction of one pair per forward) — amortizes dispatch and fills
+    the MXU.  Providers without `compute_batch` fall back to per-pair.
     """
     frames_dir = Path(frames_dir)
     files = list_frames(frames_dir)
     cache = FlowCache(frames_dir)
-    out = []
+    out: List[Path] = []
+    missing: List[int] = []
     for k in range(len(files) - 1):
-        fn1, fn2 = files[k].name, files[k + 1].name
-        p12, _ = cache.pair_paths(fn1, fn2)
-        if cache.has_pair(fn1, fn2):
-            out.append(p12)
-            continue
-        im1 = load_flow_image(files[k], max_long_edge)
-        im2 = load_flow_image(files[k + 1], max_long_edge)
-        f12, f21 = provider.compute_pair(im1, im2)
-        cache.save_pair(fn1, fn2, f12, f21)
-        if verbose:
-            print(f"flow {fn1} <-> {fn2}")
+        p12, _ = cache.pair_paths(files[k].name, files[k + 1].name)
         out.append(p12)
+        if not cache.has_pair(files[k].name, files[k + 1].name):
+            missing.append(k)
+
+    batched = hasattr(provider, "compute_batch") and pair_batch > 1
+    if not batched:
+        for k in missing:
+            im1 = load_flow_image(files[k], max_long_edge)
+            im2 = load_flow_image(files[k + 1], max_long_edge)
+            f12, f21 = provider.compute_pair(im1, im2)
+            cache.save_pair(files[k].name, files[k + 1].name, f12, f21)
+            if verbose:
+                print(f"flow {files[k].name} <-> {files[k + 1].name}")
+        return out
+
+    for s in range(0, len(missing), pair_batch):
+        ks = missing[s:s + pair_batch]
+        ims = {}
+        for k in ks:
+            for idx in (k, k + 1):
+                if idx not in ims:
+                    ims[idx] = load_flow_image(files[idx], max_long_edge)
+        # forward and backward directions of every pair in one batch
+        a = np.stack([ims[k] for k in ks] + [ims[k + 1] for k in ks])
+        b = np.stack([ims[k + 1] for k in ks] + [ims[k] for k in ks])
+        flows = provider.compute_batch(a, b)
+        n = len(ks)
+        for idx, k in enumerate(ks):
+            cache.save_pair(files[k].name, files[k + 1].name,
+                            flows[idx], flows[n + idx])
+            if verbose:
+                print(f"flow {files[k].name} <-> {files[k + 1].name}")
     return out

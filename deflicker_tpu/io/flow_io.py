@@ -62,6 +62,41 @@ def write_kitti_flow(path: str | Path, flow: np.ndarray,
     cv2.imwrite(str(path), enc[:, :, ::-1])
 
 
+def read_pfm(path: str | Path):
+    """PFM image -> (array, scale); float32, rows flipped to top-down
+    (frame_utils.py readPFM role)."""
+    with open(path, "rb") as f:
+        header = f.readline().strip()
+        if header == b"PF":
+            channels = 3
+        elif header == b"Pf":
+            channels = 1
+        else:
+            raise ValueError(f"not a PFM file: {path}")
+        w, h = map(int, f.readline().split())
+        scale = float(f.readline().strip())
+        big_endian = scale > 0
+        data = np.fromfile(f, ">f" if big_endian else "<f", h * w * channels)
+    img = data.reshape(h, w, channels) if channels > 1 else data.reshape(h, w)
+    return np.flipud(img).astype(np.float32), abs(scale)
+
+
+def write_pfm(path: str | Path, img: np.ndarray, scale: float = 1.0) -> None:
+    img = np.asarray(img, np.float32)
+    if img.ndim == 3 and img.shape[2] == 3:
+        header = b"PF"
+    elif img.ndim == 2 or (img.ndim == 3 and img.shape[2] == 1):
+        header = b"Pf"
+    else:
+        raise ValueError(f"unsupported PFM shape: {img.shape}")
+    h, w = img.shape[:2]
+    with open(path, "wb") as f:
+        f.write(header + b"\n")
+        f.write(f"{w} {h}\n".encode())
+        f.write(f"{-scale}\n".encode())        # little-endian
+        np.flipud(img).astype("<f").tofile(f)
+
+
 def _color_wheel() -> np.ndarray:
     """The standard 55-color Middlebury wheel (RY/YG/GC/CB/BM/MR arcs)."""
     RY, YG, GC, CB, BM, MR = 15, 6, 4, 11, 13, 6

@@ -58,3 +58,19 @@ def test_diagnostic_videos(tmp_path):
     save_diagnostic_videos(params, specs, data, cfg, tmp_path)
     for n in ("residuals", "uv_1", "rigidity_loss", "flow_loss", "rgb_error"):
         assert (tmp_path / f"{n}.mp4").stat().st_size > 0, n
+
+
+def test_pfm_roundtrip(tmp_path):
+    from deflicker_tpu.io.flow_io import read_pfm, write_pfm
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 10, (12, 16, 3)).astype(np.float32)
+    write_pfm(tmp_path / "x.pfm", img)
+    back, scale = read_pfm(tmp_path / "x.pfm")
+    np.testing.assert_array_equal(back, img)
+    assert scale == 1.0
+
+    gray = rng.uniform(0, 1, (8, 10)).astype(np.float32)
+    write_pfm(tmp_path / "g.pfm", gray)
+    back, _ = read_pfm(tmp_path / "g.pfm")
+    np.testing.assert_array_equal(back, gray)

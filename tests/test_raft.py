@@ -148,3 +148,35 @@ class TestOnlineCorr:
                                 corr_mode="online")
         np.testing.assert_allclose(np.asarray(up_o), np.asarray(up_m),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_batched_flow_preprocess(tmp_path):
+    """pair_batch path computes both directions of several pairs per call
+    and writes the same cache files as the per-pair path."""
+    import cv2
+
+    from deflicker_tpu.flow.engine import preprocess_optical_flow
+
+    frames = tmp_path / "vid"
+    frames.mkdir()
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, (32, 40, 3)).astype(np.uint8)
+    for t in range(5):
+        cv2.imwrite(str(frames / f"{t:05d}.png"), np.roll(base, t, axis=1))
+
+    class CountingProvider:
+        calls = 0
+
+        def compute_batch(self, a, b):
+            CountingProvider.calls += 1
+            return np.zeros(a.shape[:3] + (2,), np.float32)
+
+        def compute_pair(self, im1, im2):  # pragma: no cover
+            raise AssertionError("batched path should be used")
+
+    paths = preprocess_optical_flow(frames, CountingProvider(),
+                                    verbose=False, pair_batch=3)
+    assert len(paths) == 4
+    assert CountingProvider.calls == 2         # ceil(4/3)
+    flow_dir = frames.parent / "vid_flow"
+    assert len(list(flow_dir.glob("*.npy"))) == 8
