@@ -67,8 +67,9 @@ def select_imlp_apply(use_pallas: bool = False, precision: str = "highest"):
             and os.environ.get("DEFLICKER_NO_PALLAS") != "1"):
         from ..models.imlp import imlp_apply_fused
 
-        # bf16 multiplies halve VMEM pressure -> bigger tiles fit
-        return partial(imlp_apply_fused, tile=1024,
+        # bf16 multiplies + bf16 backward stash -> bigger tiles fit VMEM
+        tile = int(os.environ.get("DEFLICKER_PALLAS_TILE", "1024"))
+        return partial(imlp_apply_fused, tile=tile,
                        compute_dtype=jnp.bfloat16)
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)

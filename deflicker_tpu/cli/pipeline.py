@@ -16,6 +16,7 @@ from pathlib import Path
 from typing import Dict, Optional
 
 import jax
+import numpy as np
 
 from ..atlas import (build_specs, evaluate_and_save, fit_atlas, init_models,
                      load_video_data, pretrain_mapping)
@@ -157,6 +158,9 @@ def run_stage1(frames_dir: Path, cfg: PipelineConfig,
         export_atlas_artifacts(result.params, specs, data,
                                results_folder / "texture")
     t_render = time.time() - t3
+    # TensorBoard images like the reference evaluator (evaluate.py:784-793)
+    logger.log_image(result.iteration - 1, "reconstruction", rendered[0])
+    logger.log_image(result.iteration - 1, "input", np.asarray(data.video[0]))
     logger.close()
 
     iters_done = result.iteration - start_iteration

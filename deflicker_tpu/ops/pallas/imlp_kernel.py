@@ -108,7 +108,9 @@ def _bwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
     is_last = tile == pl.num_programs(0) - 1
 
     x = x_ref[...]
-    # forward, stashing each layer's INPUT (post-relu, post-concat)
+    # forward, stashing each layer's INPUT (post-relu, post-concat) in the
+    # compute dtype: the stash only feeds bf16 dW matmuls and sign-exact
+    # relu masks, and halving it lets bigger batch tiles fit VMEM
     h = x
     layer_inputs = []
     for i in range(n_layers):
@@ -118,7 +120,7 @@ def _bwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
             h = jnp.maximum(h, 0.0)
         if i in spec.skip_layers:
             h = jnp.concatenate([h, x], axis=-1)
-        layer_inputs.append(h)
+        layer_inputs.append(h.astype(cdt))
         h = jnp.dot(h.astype(cdt), W.astype(cdt),
                     preferred_element_type=jnp.float32,
                     precision=_prec_for(cdt)) + b
@@ -141,8 +143,10 @@ def _bwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
             g = g[:, :a_in.shape[1] - x.shape[1]]
         if i > 0:
             # relu mask wrt the PRE-relu activation: a_in's first block is
-            # post-relu, so mask = a_in > 0 on that block
-            g = g * (layer_inputs[i][:, :g.shape[1]] > 0.0)
+            # post-relu, so mask = a_in > 0 on that block (f32 compare —
+            # Mosaic lacks bf16 cmpf on this target; sign is cast-exact)
+            g = g * (layer_inputs[i][:, :g.shape[1]].astype(jnp.float32)
+                     > 0.0)
         else:
             dx = g
 

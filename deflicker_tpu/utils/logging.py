@@ -37,6 +37,15 @@ class ScalarLogger:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), int(step))
 
+    def log_image(self, step: int, tag: str, image) -> None:
+        """TensorBoard image (HWC float [0,1]), like the reference's
+        evaluator images (evaluate.py:589-600,784-793).  No-op without TB."""
+        if self._tb is not None:
+            import numpy as np
+
+            img = np.clip(np.asarray(image), 0.0, 1.0)
+            self._tb.add_image(tag, img.transpose(2, 0, 1), int(step))
+
     def close(self) -> None:
         self._f.close()
         if self._tb is not None:
