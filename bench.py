@@ -76,14 +76,14 @@ def main():
 
     carry = (params, opt_state, jax.random.key(1))
     # warmup: compile + first chunk
-    carry, aux = _run_chunk(carry, step_fn=step_fn, n_steps=WARMUP_ITERS)
+    carry, aux = _run_chunk(carry, data, step_fn=step_fn, n_steps=WARMUP_ITERS)
     jax.block_until_ready(aux)
 
     t0 = time.perf_counter()
     done = 0
     while done < BENCH_ITERS:
         n = min(250, BENCH_ITERS - done)
-        carry, aux = _run_chunk(carry, step_fn=step_fn, n_steps=n)
+        carry, aux = _run_chunk(carry, data, step_fn=step_fn, n_steps=n)
         done += n
     jax.block_until_ready(aux)
     dt = time.perf_counter() - t0

@@ -16,7 +16,6 @@ always gathers its own frame's entry.
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 from typing import NamedTuple, Optional
 

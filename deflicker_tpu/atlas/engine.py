@@ -149,6 +149,11 @@ def make_loss_fn(specs: AtlasSpecs, cfg: AtlasConfig, data: VideoData,
     (single: src/stage1_neural_atlas.py:159-231; dual:
     src/stage1_neural_atlas_seg.py:204-315) with all mapping-network queries
     fused into one forward per network.
+
+    `data` here only supplies STATIC shape info; the returned
+    loss_fn(params, data, j, i, f) takes the video tensors as a traced
+    argument — closing over them would embed gigabytes of constants in the
+    compiled program (full-res HLOs then exceed compile-service limits).
     """
     T, (H, W) = data.num_frames, data.res
     L = data.larger_dim
@@ -184,7 +189,8 @@ def make_loss_fn(specs: AtlasSpecs, cfg: AtlasConfig, data: VideoData,
         out = apply_mlp(params, coords.reshape(K * B, 3), spec)
         return out.reshape(K, B, 2)
 
-    def loss_fn(params: Params, j: jax.Array, i: jax.Array, f: jax.Array):
+    def loss_fn(params: Params, data: VideoData, j: jax.Array,
+                i: jax.Array, f: jax.Array):
         B = j.shape[0]
         rgb_gt = data.video[f, i, j]
         dx_gt = data.dx[f, i, j]
@@ -306,13 +312,13 @@ def make_scan_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def step(carry, _):
+    def step(carry, _, data):
         params, opt_state, key = carry
         key, kj, ki, kf = jax.random.split(key, 4)
         j = shard_constraint(jax.random.randint(kj, (batch,), 0, W), mesh)
         i = shard_constraint(jax.random.randint(ki, (batch,), 0, H), mesh)
         f = shard_constraint(jax.random.randint(kf, (batch,), 0, T), mesh)
-        (_, aux), grads = grad_fn(params, j, i, f)
+        (_, aux), grads = grad_fn(params, data, j, i, f)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, key), aux
@@ -321,8 +327,11 @@ def make_scan_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
 
 
 @partial(jax.jit, static_argnames=("step_fn", "n_steps"), donate_argnums=(0,))
-def _run_chunk(carry, step_fn: Callable, n_steps: int):
-    carry, auxes = jax.lax.scan(step_fn, carry, None, length=n_steps)
+def _run_chunk(carry, data: VideoData, step_fn: Callable, n_steps: int):
+    """`data` rides as a traced input (NOT a captured constant — see
+    make_loss_fn) so one compile serves any video content of this shape."""
+    body = lambda c, x: step_fn(c, x, data)
+    carry, auxes = jax.lax.scan(body, carry, None, length=n_steps)
     # per-chunk mean of each logged scalar — tiny D2H transfer per chunk
     return carry, jax.tree_util.tree_map(jnp.mean, auxes)
 
@@ -387,7 +396,7 @@ def fit_atlas(params: Params, specs: AtlasSpecs, data: VideoData,
             step_fns[flags] = make_scan_step(loss_fn, optimizer,
                                              cfg.samples_batch, H, W, T,
                                              mesh=mesh)
-        carry, aux_mean = _run_chunk(carry, step_fn=step_fns[flags],
+        carry, aux_mean = _run_chunk(carry, data, step_fn=step_fns[flags],
                                      n_steps=n_steps)
         i = nxt
         rec = {k: float(v) for k, v in aux_mean.items()}

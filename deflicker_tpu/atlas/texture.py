@@ -20,7 +20,7 @@ TPU-native re-design of the reference dual evaluator's atlas machinery
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
@@ -31,7 +31,7 @@ from ..models.imlp import imlp_apply
 from ..ops.coords import normalize_xyt
 from ..ops.sampling import bilinear_sample
 from .data import VideoData
-from .engine import AtlasSpecs, Params, _squash_alpha
+from .engine import AtlasSpecs, Params
 from .render import render_frame
 
 

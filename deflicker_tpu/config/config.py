@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,9 +145,9 @@ class PipelineConfig:
     fps: int = 10
     class_name: Optional[str] = None           # segmentation class; None = single atlas
     gpu: int = 0                               # accepted for CLI parity; unused on TPU
-    ckpt_filter: str = "./pretrained_weights/neural_filter.npz"
-    ckpt_local: str = "./pretrained_weights/local_refinement_net.npz"
-    ckpt_raft: str = "./pretrained_weights/raft-things.npz"
+    ckpt_filter: str = "./pretrained_weights/neural_filter.pth"
+    ckpt_local: str = "./pretrained_weights/local_refinement_net.pth"
+    ckpt_raft: str = "./pretrained_weights/raft-things.pth"
 
     # stage-1 args (reference: src/stage1_neural_atlas.py:259-264).
     # down=None means "auto": 4 on the single-atlas path, 1 on the seg path

@@ -63,7 +63,7 @@ class TestLossFn:
         jj = jnp.asarray(rng.integers(0, 20, B))
         ii = jnp.asarray(rng.integers(0, 16, B))
         ff = jnp.asarray(rng.integers(0, 4, B))
-        total, aux = loss_fn(params, jj, ii, ff)
+        total, aux = loss_fn(params, data, jj, ii, ff)
         assert np.isfinite(float(total)) and float(total) > 0
         for k in ("rgb", "gradient", "rigidity1", "global_rigidity1", "flow1"):
             assert np.isfinite(float(aux[k])), k
@@ -79,7 +79,7 @@ class TestLossFn:
         jj = jnp.zeros(B, jnp.int32) + 3
         ii = jnp.zeros(B, jnp.int32) + 5
         ff = jnp.zeros(B, jnp.int32) + 1
-        total, aux = loss_fn(params, jj, ii, ff)
+        total, aux = loss_fn(params, data, jj, ii, ff)
         expected = {"rgb", "gradient", "rigidity1", "rigidity2",
                     "global_rigidity1", "global_rigidity2", "flow1", "flow2",
                     "sparsity", "alpha_flow", "alpha_bootstrap", "total"}

@@ -46,8 +46,8 @@ def test_sharded_fit_matches_single_device():
         # one step: same key -> same sampled batch; only the cross-device
         # reduction order differs.  (More steps would compound float noise
         # chaotically through Adam + the ill-conditioned rigidity inverse.)
-        carry, aux = _run_chunk((p, opt, jax.random.key(7)), step_fn=step,
-                                n_steps=1)
+        carry, aux = _run_chunk((p, opt, jax.random.key(7)), data,
+                                step_fn=step, n_steps=1)
         return float(aux["total"])
 
     single = run(None)
