@@ -75,9 +75,11 @@ def main():
     step_fn = make_scan_step(loss_fn, optimizer, cfg.samples_batch, H, W, T)
 
     carry = (params, opt_state, jax.random.key(1))
-    # warmup: compile + first chunk
+    # warmup: compile + first chunk; the float() readback is the only
+    # reliable completion barrier on remotely-attached devices
+    # (block_until_ready returns early through the axon tunnel)
     carry, aux = _run_chunk(carry, data, step_fn=step_fn, n_steps=WARMUP_ITERS)
-    jax.block_until_ready(aux)
+    float(aux["rgb"])
 
     t0 = time.perf_counter()
     done = 0
@@ -85,7 +87,7 @@ def main():
         n = min(250, BENCH_ITERS - done)
         carry, aux = _run_chunk(carry, data, step_fn=step_fn, n_steps=n)
         done += n
-    jax.block_until_ready(aux)
+    final_rgb = float(aux["rgb"])      # forces the whole queued chain
     dt = time.perf_counter() - t0
 
     its = BENCH_ITERS / dt
@@ -97,7 +99,7 @@ def main():
         "vs_baseline": round(its / REFERENCE_A100_ITERS_PER_SEC, 2),
         "config": f"{T}x{H}x{W}, batch {cfg.samples_batch}, single-atlas",
         "device": f"{device.platform}:{device.device_kind}",
-        "final_rgb_loss": float(aux["rgb"]),
+        "final_rgb_loss": final_rgb,
     }))
 
 
