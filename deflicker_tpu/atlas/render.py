@@ -64,14 +64,23 @@ def render_frame(params: Params, specs: AtlasSpecs, f: jax.Array,
     return out
 
 
+@partial(jax.jit, static_argnames=("specs", "H", "W", "T", "mesh"))
+def _render_all(params: Params, specs: AtlasSpecs,
+                H: int, W: int, T: int, mesh=None) -> jax.Array:
+    """All frames in ONE compiled program (lax.map over t) — one dispatch
+    and one D2H instead of T of each, which matters on remotely-attached
+    devices; frames stream through lax.map so peak memory stays
+    O(frame), not O(video)."""
+    def one(f):
+        return render_frame(params, specs, f, H, W, T, mesh=mesh)["rgb"]
+
+    return jax.lax.map(one, jnp.arange(T))
+
+
 def render_frames(params: Params, specs: AtlasSpecs,
                   T: int, H: int, W: int, mesh=None) -> np.ndarray:
     """Render all frames -> (T, H, W, 3) float32 on host."""
-    frames = np.zeros((T, H, W, 3), np.float32)
-    for f in range(T):
-        frames[f] = np.asarray(render_frame(params, specs, f, H, W, T,
-                                            mesh=mesh)["rgb"])
-    return frames
+    return np.asarray(_render_all(params, specs, H, W, T, mesh=mesh))
 
 
 @partial(jax.jit, static_argnames=("specs", "cfg"))
