@@ -107,3 +107,26 @@ class TestEvaluateCLI:
         out = compute_video_metrics(frames, frames)
         assert out["psnr_mean"] == float("inf")
         assert "ewarp_mean" in out and out["ewarp_mean"] >= 0
+
+
+class TestConvertWeightsCLI:
+    def test_raft_roundtrip(self, tmp_path):
+        """Convert a random torch RAFT checkpoint and load it without torch
+        involvement on the read side."""
+        torch = pytest.importorskip("torch")
+        from tests.test_raft import make_torch_raft
+
+        _, model = make_torch_raft()
+        src = tmp_path / "raft.pth"
+        torch.save(model.state_dict(), src)
+
+        from deflicker_tpu.cli.convert_weights import main
+
+        dst = tmp_path / "raft.ckpt"
+        assert main(["--kind", "raft", "--src", str(src),
+                     "--dst", str(dst)]) == 0
+
+        from deflicker_tpu.flow.convert import load_raft_checkpoint
+
+        variables = load_raft_checkpoint(dst)
+        assert "params" in variables and "batch_stats" in variables
