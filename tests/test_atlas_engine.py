@@ -169,3 +169,26 @@ class TestRender:
         assert out["alpha"].shape == (16, 20, 1)
         a = np.asarray(out["alpha"])
         assert a.min() > 0.0 and a.max() < 1.0
+
+
+class TestNumericsRegression:
+    def test_seeded_loss_trajectory_is_stable(self):
+        """Golden guard: the seeded fp32 fit on fixed synthetic data must
+        keep producing finite, monotone-ish losses in a pinned range.
+        Catches silent numerics regressions (precision routing, loss
+        reformulations) without pinning exact floats across backends."""
+        import dataclasses
+
+        cfg = dataclasses.replace(tiny_config(iters=30),
+                                  fit_precision="highest")
+        data = synthetic_data()
+        specs = build_specs(cfg, dual=False)
+        params = init_models(jax.random.key(0), specs)
+        result = fit_atlas(params, specs, data, cfg, jax.random.key(2))
+        first, last = result.logs[0], result.logs[-1]
+        assert 0.0 < last["rgb"] < first["rgb"] < 1.0
+        assert 0.0 < last["rigidity1"] < 1e4
+        assert last["total"] < first["total"]
+        # pinned coarse envelope for the seeded run (wide enough for any
+        # backend, tight enough to catch a broken loss term)
+        assert 10.0 < last["total"] < 1e5, last["total"]
