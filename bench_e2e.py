@@ -1,0 +1,342 @@
+#!/usr/bin/env python
+"""Per-stage + end-to-end benchmark harness (BASELINE.md evidence).
+
+`bench.py` stays the driver's one-line headline (atlas-fit it/s); this
+script measures everything else and merges results into BENCH_E2E.json:
+
+  raft      RAFT flow fields/s, device-bound (batch resident on device,
+            scalar readback barrier) at the working resolution
+  stage2    stage-2 throughput: UNet filter frames/s (batched) and the
+            sequential refinement scan frames/s
+  e2e       the full pipeline (config 1: real test video, 80 frames,
+            down 4, 10k iters) wall-clock fps + per-stage breakdown
+  torchref  the PyTorch reference's stage-1 training iteration measured on
+            THIS host's CPU by calling the reference's own modules — the
+            reproducible (if weak) comparator BASELINE.md calls for
+  jaxcpu    our stage-1 fit step on the same CPU — the apples-to-apples
+            same-hardware framework comparison
+
+Usage: python bench_e2e.py [raft|stage2|e2e|torchref|jaxcpu|all ...]
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+OUT = Path(__file__).parent / "BENCH_E2E.json"
+
+
+def _merge(update: dict) -> None:
+    cur = json.loads(OUT.read_text()) if OUT.exists() else {}
+    cur.update(update)
+    OUT.write_text(json.dumps(cur, indent=2) + "\n")
+    print(json.dumps(update))
+
+
+def _device_str():
+    import jax
+
+    d = jax.devices()[0]
+    return f"{d.platform}:{d.device_kind}"
+
+
+# ---------------------------------------------------------------------------
+# RAFT device-bound throughput
+# ---------------------------------------------------------------------------
+
+def bench_raft(H=360, W=640, pairs=4, iters=20, reps=3):
+    """Flow fields/s with inputs resident on device: isolates chip compute
+    from the dev tunnel's ~5 MB/s host link (BASELINE.md caveats)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deflicker_tpu.models.raft import raft_flow, raft_init
+    from deflicker_tpu.ops.pad import Padder
+
+    B = pairs * 2                      # fwd+bwd directions in one batch
+    padder = Padder(H, W, divisor=8, mode="sintel")
+    rng = np.random.default_rng(0)
+    im = rng.uniform(0, 255, (2, B, H, W, 3)).astype(np.float32)
+    x1 = jax.device_put(padder.pad(jnp.asarray(im[0])))
+    x2 = jax.device_put(padder.pad(jnp.asarray(im[1])))
+    variables = raft_init(jax.random.key(0), image_hw=x1.shape[1:3])
+
+    def run():
+        _, up = raft_flow(variables, x1, x2, iters=iters)
+        return float(up[0, 0, 0, 0])   # readback barrier
+
+    run()                              # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run()
+    dt = (time.perf_counter() - t0) / reps
+    fields_s = B / dt
+    _merge({"raft": {
+        "metric": "raft_flow_fields_per_sec_device",
+        "value": round(fields_s, 2),
+        "config": f"{H}x{W}, batch {B} (={pairs} pairs x 2 dir), "
+                  f"{iters} GRU iters, bf16, random weights",
+        "sec_per_batch": round(dt, 3),
+        "device": _device_str(),
+    }})
+
+
+# ---------------------------------------------------------------------------
+# Stage-2 device-bound throughput
+# ---------------------------------------------------------------------------
+
+def bench_stage2(H=432, W=768, batch=8, T_refine=16, reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    from deflicker_tpu.filter.engine import filter_frames, refine_sequence
+    from deflicker_tpu.models.refine import transformnet_init
+    from deflicker_tpu.models.unet import unet_init
+    from deflicker_tpu.ops.pad import Padder
+
+    padder = Padder(H, W, divisor=32, mode="other")
+    rng = np.random.default_rng(0)
+    content = jax.device_put(padder.pad(jnp.asarray(
+        rng.uniform(0, 1, (batch, H, W, 3)).astype(np.float32))))
+    style = jax.device_put(padder.pad(jnp.asarray(
+        rng.uniform(0, 1, (batch, H, W, 3)).astype(np.float32))))
+    fvars = unet_init(jax.random.key(0))
+    lvars = transformnet_init(jax.random.key(1))
+
+    def run_filter():
+        p = filter_frames(fvars, content, style)
+        return float(p[0, 0, 0, 0])
+
+    run_filter()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run_filter()
+    dt_f = (time.perf_counter() - t0) / reps
+
+    preds = jax.device_put(padder.pad(jnp.asarray(
+        rng.uniform(0, 1, (T_refine, H, W, 3)).astype(np.float32))))
+
+    def run_refine():
+        o = refine_sequence(lvars, preds)
+        return float(o[-1, 0, 0, 0])
+
+    run_refine()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run_refine()
+    dt_r = (time.perf_counter() - t0) / reps
+
+    filt_fps = batch / dt_f
+    ref_fps = T_refine / dt_r
+    combined = 1.0 / (1.0 / filt_fps + 1.0 / ref_fps)
+    _merge({"stage2": {
+        "metric": "stage2_frames_per_sec_device",
+        "filter_fps": round(filt_fps, 2),
+        "refine_fps": round(ref_fps, 2),
+        "combined_fps": round(combined, 2),
+        "config": f"{H}x{W} (padded {padder.padded_hw}), UNet batch {batch},"
+                  f" refine scan T={T_refine}, random weights",
+        "device": _device_str(),
+    }})
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline (benchmark config 1)
+# ---------------------------------------------------------------------------
+
+def bench_e2e(iters=None, down=4):
+    import os
+    import tempfile
+
+    from deflicker_tpu.cli.main import args_to_configs, build_parser
+
+    video = "/root/reference/data/test/Winter_Scenes_in_Holland.mp4"
+    iters = iters or int(os.environ.get("BENCH_E2E_ITERS", 10001))
+    with tempfile.TemporaryDirectory() as td:
+        argv = ["--video_name", video, "--down", str(down),
+                "--iters", str(iters),
+                "--root", str(Path(td) / "data"),
+                "--results_root", str(Path(td) / "results")]
+        cfg, atlas_cfg = args_to_configs(build_parser().parse_args(argv))
+        from deflicker_tpu.cli.pipeline import run_pipeline
+
+        m = run_pipeline(cfg, atlas_cfg)
+    _merge({"e2e": {
+        "metric": "end_to_end_frames_per_sec",
+        "value": round(m["frames_per_sec"], 3),
+        "frames": m["num_frames"],
+        "iters": iters,
+        "t_total": round(m["t_total"], 1),
+        "breakdown": {k: round(m[k], 1) for k in
+                      ("t_flow", "t_pretrain", "t_fit", "t_render",
+                       "t_stage2") if k in m},
+        "fit_iters_per_sec": round(m["iters_per_sec"], 1),
+        "stage1_psnr": round(m["psnr"], 2),
+        "input_ewarp_x100": round(m["input_ewarp"] * 100, 3)
+        if m.get("input_ewarp") is not None else None,
+        "final_ewarp_x100": round(m["final_ewarp"] * 100, 3)
+        if m.get("final_ewarp") is not None else None,
+        "device": _device_str(),
+        "note": "host<->device transfers ride a ~5 MB/s dev tunnel here; "
+                "t_render/t_stage2 are transfer-dominated in this env",
+    }})
+
+
+# ---------------------------------------------------------------------------
+# Torch reference comparator (same host, CPU)
+# ---------------------------------------------------------------------------
+
+def _torch_ref_setup(T, resy, resx, samples, device):
+    """Random tensors in the reference's exact layouts
+    (unwrap_utils.load_input_data_single shapes) + its models."""
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from src.models.stage_1.implicit_neural_networks import IMLP
+
+    g = torch.Generator().manual_seed(0)
+    video_frames = torch.rand((resy, resx, 3, T), generator=g)
+    dx = torch.zeros_like(video_frames)
+    dy = torch.zeros_like(video_frames)
+    dx[:, :-1] = video_frames[:, 1:] - video_frames[:, :-1]
+    dy[:-1] = video_frames[1:] - video_frames[:-1]
+    flows = torch.rand((resy, resx, 2, T, 1), generator=g) * 2 - 1
+    flows_r = torch.rand((resy, resx, 2, T, 1), generator=g) * 2 - 1
+    fmask = (torch.rand((resy, resx, T, 1), generator=g) > 0.1).float()
+    fmask_r = (torch.rand((resy, resx, T, 1), generator=g) > 0.1).float()
+
+    mapping1 = IMLP(input_dim=3, output_dim=2, hidden_dim=256,
+                    use_positional=False, num_layers=6,
+                    skip_layers=[]).to(device)
+    atlas = IMLP(input_dim=2, output_dim=3, hidden_dim=256,
+                 use_positional=True, positional_dim=10, num_layers=8,
+                 skip_layers=[4, 7]).to(device)
+    opt = torch.optim.Adam([{"params": list(mapping1.parameters())},
+                            {"params": list(atlas.parameters())}], lr=1e-4)
+    return (video_frames, dx, dy, flows, flows_r, fmask, fmask_r, mapping1,
+            atlas, opt)
+
+
+def _torch_ref_step(state, T, resy, resx, samples, device):
+    """One training iteration exactly as stage1_neural_atlas.py:151-231,
+    calling the reference's own loss functions."""
+    import torch
+    from src.models.stage_1.loss_utils import (get_gradient_loss_single,
+                                               get_optical_flow_loss,
+                                               get_rigidity_loss)
+
+    (video_frames, dx, dy, flows, flows_r, fmask, fmask_r, mapping1, atlas,
+     opt) = state
+    larger_dim = max(resx, resy)
+    inds = torch.randint(resy * resx * T, (samples, 1))
+    j = (inds % resx)
+    i = (inds // resx) % resy
+    f = inds // (resy * resx)
+    jif_current = torch.stack([j, i, f])            # (3, batch, 1)
+    rgb_current = video_frames[i[:, 0], j[:, 0], :, f[:, 0]].to(device)
+    xyt = torch.cat((j / (larger_dim / 2) - 1, i / (larger_dim / 2) - 1,
+                     f / (T / 2.0) - 1), dim=1).to(device)
+
+    uv1 = mapping1(xyt)
+    alpha = torch.ones(samples, 1).to(device)
+    rgb_out = (atlas(uv1 * 0.5 + 0.5) + 1.0) * 0.5
+    gradient_loss = get_gradient_loss_single(dx, dy, jif_current, mapping1,
+                                             atlas, rgb_out, device, resx, T)
+    rgb_loss = (torch.norm(rgb_out - rgb_current, dim=1) ** 2).mean()
+    rigidity = get_rigidity_loss(jif_current, 1, larger_dim, T, mapping1,
+                                 uv1, device, uv_mapping_scale=0.8)
+    global_rigidity = get_rigidity_loss(jif_current, 100, larger_dim, T,
+                                        mapping1, uv1, device,
+                                        uv_mapping_scale=0.8)
+    flow_loss = get_optical_flow_loss(jif_current, uv1, flows_r, fmask_r,
+                                      larger_dim, T, mapping1, flows, fmask,
+                                      0.8, device, use_alpha=True,
+                                      alpha=alpha)
+    loss = (1.0 * rigidity + 5.0 * global_rigidity + 5000.0 * rgb_loss
+            + 500.0 * flow_loss + 1000.0 * gradient_loss)
+    opt.zero_grad()
+    loss.backward()
+    opt.step()
+    return float(loss)
+
+
+def bench_torchref(T=80, resy=108, resx=192, samples=10000, n_iters=20):
+    import torch
+
+    device = torch.device("cuda" if torch.cuda.is_available() else "cpu")
+    torch.manual_seed(0)
+    state = _torch_ref_setup(T, resy, resx, samples, device)
+    for _ in range(3):
+        _torch_ref_step(state, T, resy, resx, samples, device)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        _torch_ref_step(state, T, resy, resx, samples, device)
+    dt = time.perf_counter() - t0
+    _merge({"torchref": {
+        "metric": "torch_reference_stage1_iters_per_sec",
+        "value": round(n_iters / dt, 3),
+        "config": f"{T}x{resy}x{resx}, batch {samples}, single-atlas, "
+                  "reference modules (IMLP + loss_utils) verbatim",
+        "device": str(device),
+        "torch_threads": torch.get_num_threads(),
+    }})
+
+
+def bench_jaxcpu(n_iters=20):
+    """Our fit step on the same CPU — run as a subprocess so the forced
+    'axon' platform doesn't grab the TPU."""
+    import subprocess
+
+    code = r"""
+import json, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import optax
+import bench as B
+from deflicker_tpu.atlas.engine import (build_specs, init_models,
+                                        make_loss_fn, make_scan_step,
+                                        _run_chunk)
+from deflicker_tpu.config import AtlasConfig
+cfg = AtlasConfig()
+data = B.synthetic_video_data(B.T, B.H, B.W)
+specs = build_specs(cfg, dual=False)
+params = init_models(jax.random.key(0), specs)
+optimizer = optax.adam(cfg.learning_rate)
+opt_state = optimizer.init(params)
+loss_fn = make_loss_fn(specs, cfg, data, True, False)
+step_fn = make_scan_step(loss_fn, optimizer, cfg.samples_batch, B.H, B.W, B.T)
+carry = (params, opt_state, jax.random.key(1))
+carry, aux = _run_chunk(carry, data, step_fn=step_fn, n_steps=3)
+float(aux["rgb"])
+t0 = time.perf_counter()
+carry, aux = _run_chunk(carry, data, step_fn=step_fn, n_steps=%d)
+float(aux["rgb"])
+print("JAXCPU_RESULT", json.dumps({"its": %d / (time.perf_counter() - t0)}))
+""" % (n_iters, n_iters)
+    out = subprocess.run([sys.executable, "-c", code],
+                         cwd=str(Path(__file__).parent),
+                         capture_output=True, text=True, timeout=1800)
+    line = [l for l in out.stdout.splitlines() if "JAXCPU_RESULT" in l]
+    assert line, out.stdout + out.stderr
+    its = json.loads(line[-1].split("JAXCPU_RESULT ")[1])["its"]
+    _merge({"jaxcpu": {
+        "metric": "our_stage1_iters_per_sec_cpu",
+        "value": round(its, 3),
+        "config": "same config as torchref, jax CPU backend, "
+                  "fused scan step",
+    }})
+
+
+BENCHES = {"raft": bench_raft, "stage2": bench_stage2, "e2e": bench_e2e,
+           "torchref": bench_torchref, "jaxcpu": bench_jaxcpu}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["all"]
+    if names == ["all"]:
+        names = list(BENCHES)
+    for n in names:
+        BENCHES[n]()

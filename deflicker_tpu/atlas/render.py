@@ -77,10 +77,41 @@ def _render_all(params: Params, specs: AtlasSpecs,
     return jax.lax.map(one, jnp.arange(T))
 
 
+@partial(jax.jit, static_argnames=("specs", "n", "H", "W", "T", "mesh"))
+def _render_span(params: Params, specs: AtlasSpecs, f0: jax.Array,
+                 n: int, H: int, W: int, T: int, mesh=None) -> jax.Array:
+    """Render frames [f0, f0+n) — fixed shape, so every span reuses one
+    compile regardless of f0."""
+    def one(f):
+        return render_frame(params, specs, f, H, W, T, mesh=mesh)["rgb"]
+
+    return jax.lax.map(one, f0 + jnp.arange(n))
+
+
 def render_frames(params: Params, specs: AtlasSpecs,
-                  T: int, H: int, W: int, mesh=None) -> np.ndarray:
-    """Render all frames -> (T, H, W, 3) float32 on host."""
-    return np.asarray(_render_all(params, specs, H, W, T, mesh=mesh))
+                  T: int, H: int, W: int, mesh=None,
+                  t_chunk: int | None = None,
+                  max_device_bytes: float = 1.5e9) -> np.ndarray:
+    """Render all frames -> (T, H, W, 3) float32 on host.
+
+    For small videos this is ONE dispatch + ONE D2H (`_render_all`).  When
+    the full rendered video would exceed `max_device_bytes` of HBM (e.g.
+    200 frames at --down 1), frames stream out in fixed-size spans of
+    `t_chunk` frames instead — peak device memory O(t_chunk·H·W), one
+    compile total (the final span overlaps backwards rather than shrinking,
+    keeping its shape static)."""
+    if t_chunk is None:
+        frame_bytes = H * W * 3 * 4
+        if T * frame_bytes > max_device_bytes:
+            t_chunk = max(1, int(max_device_bytes // frame_bytes))
+    if not t_chunk or t_chunk >= T:
+        return np.asarray(_render_all(params, specs, H, W, T, mesh=mesh))
+    out = np.zeros((T, H, W, 3), np.float32)
+    for s0 in range(0, T, t_chunk):
+        f0 = min(s0, T - t_chunk)
+        out[f0:f0 + t_chunk] = np.asarray(_render_span(
+            params, specs, jnp.int32(f0), t_chunk, H, W, T, mesh=mesh))
+    return out
 
 
 @partial(jax.jit, static_argnames=("specs", "cfg"))
@@ -115,6 +146,7 @@ def render_diagnostics(params: Params, specs: AtlasSpecs, data: VideoData,
                    ff.astype(jnp.float32) + 1.0)
 
     rgb1 = (imlp_apply(params["atlas"], uv * 0.5 + 0.5, specs.atlas) + 1) * 0.5
+    extra = {}
     if specs.dual:
         uv2 = imlp_apply(params["mapping2"],
                          normalize_xyt(j, i, ff, L, T), specs.mapping2)
@@ -124,6 +156,8 @@ def render_diagnostics(params: Params, specs: AtlasSpecs, data: VideoData,
                                      normalize_xyt(j, i, ff, L, T),
                                      specs.alpha))
         rgb = rgb1 * a + rgb2 * (1.0 - a)
+        extra["uv2"] = uv2.reshape(H, W, 2)
+        extra["alpha"] = a.reshape(H, W)
     else:
         rgb = rgb1
 
@@ -139,25 +173,70 @@ def render_diagnostics(params: Params, specs: AtlasSpecs, data: VideoData,
         "rigidity_map": rig.reshape(H, W),
         "flow_map": flow_err.reshape(H, W),
         "rgb_error_map": jnp.sum((gt - rgb) ** 2, axis=-1).reshape(H, W),
+        **extra,
     }
+
+
+def _global_info_panel(diag: Dict[str, np.ndarray],
+                       original: np.ndarray) -> np.ndarray:
+    """One matplotlib "global info" frame: reconstruction / original / RGB
+    error / flow loss / rigidity loss in the reference's subplot layout and
+    value ranges (evaluate.py:745-773)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(20, 10))
+    plt.subplot(3, 4, 1)
+    plt.imshow(np.clip(diag["rgb"], 0, 1), vmin=0.0, vmax=1.0)
+    plt.colorbar()
+    plt.title("video_reconstruction")
+    plt.subplot(3, 4, 2)
+    plt.imshow(original, vmin=0.0, vmax=1.0)
+    plt.colorbar()
+    plt.title("original_video")
+    plt.subplot(3, 4, 3)
+    plt.imshow(diag["rgb_error_map"], vmin=0.0, vmax=0.2)
+    plt.colorbar()
+    plt.title("RGB error")
+    plt.subplot(3, 4, 9)
+    plt.imshow(diag["flow_map"], vmin=0.0, vmax=2.0)
+    plt.colorbar()
+    plt.title("flow_loss1")
+    plt.subplot(3, 4, 12)
+    plt.imshow(diag["rigidity_map"], vmin=2.8, vmax=50.0)
+    plt.colorbar()
+    plt.title("rigidity_loss1")
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return img
 
 
 def save_diagnostic_videos(params: Params, specs: AtlasSpecs,
                            data: VideoData, cfg: AtlasConfig,
-                           results_folder: str | Path, fps: int = 10) -> None:
+                           results_folder: str | Path, fps: int = 10,
+                           global_info: bool = True) -> None:
     """residuals / uv / per-pixel-loss mp4s (the reference evaluator's
-    visualization set, evaluate.py:729-773 single path)."""
+    visualization set, evaluate.py:729-773 single path), plus for the dual
+    path: alpha, alpha-vs-mask, uv_2 and masked-uv_1 videos
+    (evaluate.py:503-583), and the matplotlib `global_info.mp4` panels."""
     import cv2
 
     results_folder = Path(results_folder)
     results_folder.mkdir(parents=True, exist_ok=True)
     T, (H, W) = data.num_frames, data.res
+    video_np = None
 
+    names = ["residuals", "uv_1", "rigidity_loss", "flow_loss", "rgb_error"]
+    if specs.dual:
+        names += ["alpha", "alpha_vs_mask", "uv_2", "uv_1_masked"]
     fourcc = cv2.VideoWriter_fourcc(*"mp4v")
     writers = {name: cv2.VideoWriter(str(results_folder / f"{name}.mp4"),
                                      fourcc, fps, (W, H))
-               for name in ("residuals", "uv_1", "rigidity_loss",
-                            "flow_loss", "rgb_error")}
+               for name in names}
+    w_info = None
     try:
         for f in range(T):
             diag = jax.tree_util.tree_map(
@@ -169,16 +248,45 @@ def save_diagnostic_videos(params: Params, specs: AtlasSpecs,
             uv_img = np.zeros((H, W, 3), np.float32)
             uv_img[..., :2] = np.clip(diag["uv1"] * 0.5 + 0.5, 0, 1)
             writers["uv_1"].write((uv_img[..., ::-1] * 255).astype(np.uint8))
-            for name, key, scale in (("rigidity_loss", "rigidity_map", None),
-                                     ("flow_loss", "flow_map", None),
-                                     ("rgb_error", "rgb_error_map", None)):
+            for name, key in (("rigidity_loss", "rigidity_map"),
+                              ("flow_loss", "flow_map"),
+                              ("rgb_error", "rgb_error_map")):
                 m = diag[key]
                 m = m / max(float(m.max()), 1e-6)
                 gray = (np.stack([m] * 3, -1) * 255).astype(np.uint8)
                 writers[name].write(gray)
+            if specs.dual:
+                a = np.clip(diag["alpha"], 0, 1)
+                writers["alpha"].write(
+                    (np.stack([a] * 3, -1)[..., ::-1] * 255).astype(np.uint8))
+                # red = provided mask, green = learned alpha
+                # (alpha_vs_mask_rcnn, evaluate.py:552-557)
+                mask_f = np.asarray(data.mask[f])
+                avm = np.stack([mask_f, a, np.zeros_like(a)], axis=-1)
+                writers["alpha_vs_mask"].write(
+                    (avm[..., ::-1] * 255).astype(np.uint8))
+                uv2_img = np.zeros((H, W, 3), np.float32)
+                uv2_img[..., :2] = np.clip(diag["uv2"] * 0.5 + 0.5, 0, 1)
+                writers["uv_2"].write(
+                    (uv2_img[..., ::-1] * 255).astype(np.uint8))
+                writers["uv_1_masked"].write(
+                    ((uv_img * a[..., None])[..., ::-1] * 255
+                     ).astype(np.uint8))
+            if global_info:
+                if video_np is None:
+                    video_np = np.asarray(data.video)
+                panel = _global_info_panel(diag, video_np[f])
+                if w_info is None:
+                    ph, pw = panel.shape[:2]
+                    w_info = cv2.VideoWriter(
+                        str(results_folder / "global_info.mp4"), fourcc,
+                        fps, (pw, ph))
+                w_info.write(panel[..., ::-1])
     finally:
         for w in writers.values():
             w.release()
+        if w_info is not None:
+            w_info.release()
 
 
 def save_mask_flow_videos(data: VideoData, results_folder: str | Path,

@@ -19,6 +19,7 @@ TPU-native re-design of the reference dual evaluator's atlas machinery
 
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 from typing import Dict, Tuple
 
@@ -35,38 +36,75 @@ from .engine import AtlasSpecs, Params
 from .render import render_frame
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "specs", "use_mapping2", "invert_alpha", "larger_dim", "num_frames",
+    "chunk", "n_chunks"))
+def _area_chunk_reduce(params: Params, mask: jax.Array, k0: jax.Array,
+                       alpha_thresh: jax.Array, *, specs: AtlasSpecs,
+                       use_mapping2: bool, invert_alpha: bool,
+                       larger_dim: int, num_frames: int, chunk: int,
+                       n_chunks: int):
+    """One compiled pass over the whole (T*H*W) index space in fixed-size
+    chunks (lax.map): per-chunk masked uv min/max + count, reduced on
+    device.  Peak memory is O(chunk), never O(T*H*W) — the reference
+    equivalently chunks 100k points (evaluate.py:156-170)."""
+    T, H, W = mask.shape
+    total = T * H * W
+    mkey = "mapping2" if use_mapping2 else "mapping1"
+    mspec = specs.mapping2 if use_mapping2 else specs.mapping1
+
+    def one(k):
+        idx = k0 + k * chunk + jnp.arange(chunk)
+        valid = idx < total
+        ix = jnp.minimum(idx, total - 1)
+        f = ix // (H * W)
+        rem = ix % (H * W)
+        i = rem // W
+        j = rem % W
+        m = mask[f, i, j] > 0.5
+        xyt = normalize_xyt(j, i, f, larger_dim, num_frames)
+        uv = imlp_apply(params[mkey], xyt, mspec)
+        a = imlp_apply(params["alpha"], xyt, specs.alpha)[:, 0]
+        if invert_alpha:
+            a = -a
+        sel = (valid & m & (a > alpha_thresh))[:, None]
+        lo = jnp.where(sel, uv, jnp.inf).min(axis=0)
+        hi = jnp.where(sel, uv, -jnp.inf).max(axis=0)
+        return lo, hi, jnp.sum(sel)
+
+    lo, hi, n = jax.lax.map(one, jnp.arange(n_chunks))
+    return lo.min(axis=0), hi.max(axis=0), n.sum()
+
+
 def get_mapping_area(params: Params, specs: AtlasSpecs, mask: jax.Array,
                      larger_dim: int, num_frames: int, uv_shift: float,
                      use_mapping2: bool = False, invert_alpha: bool = False,
-                     alpha_thresh: float = -0.5
+                     alpha_thresh: float = -0.5, chunk: int = 1 << 17
                      ) -> Tuple[float, float, float, float, float]:
     """(maxx, minx, maxy, miny, edge_size) of the uv area covered by pixels
     with mask==1 and (raw tanh) alpha > alpha_thresh, after uv*0.5+uv_shift.
     mask: (T, H, W).  Mirrors evaluate.py:142-189 (thresholds on the RAW
-    alpha output, not the squashed one)."""
+    alpha output, not the squashed one).
+
+    Scales to full-res videos: the MLPs see `chunk` points at a time inside
+    one scanned device program; only the (2,) min/max come back to host.
+    """
     T, H, W = mask.shape
-    # static-size nonzero: true entries come first (row-major), padding last
-    ff, ii, jj = jnp.nonzero(mask > 0.5, size=mask.size, fill_value=0)
-    n_valid = int(jnp.sum(mask > 0.5))
-
-    xyt = normalize_xyt(jj, ii, ff, larger_dim, num_frames)
-    mkey = "mapping2" if use_mapping2 else "mapping1"
-    mspec = specs.mapping2 if use_mapping2 else specs.mapping1
-    uv = imlp_apply(params[mkey], xyt, mspec)
-    alpha_raw = imlp_apply(params["alpha"], xyt, specs.alpha)[:, 0]
-    if invert_alpha:
-        alpha_raw = -alpha_raw
-
-    uv = np.asarray(uv)[:n_valid]
-    alpha_raw = np.asarray(alpha_raw)[:n_valid]
-    sel = alpha_raw > alpha_thresh
-    if not np.any(sel):
+    total = T * H * W
+    n_chunks = -(-total // chunk)
+    fn = functools.partial(
+        _area_chunk_reduce, specs=specs, use_mapping2=use_mapping2,
+        invert_alpha=invert_alpha, larger_dim=larger_dim,
+        num_frames=num_frames, chunk=chunk, n_chunks=n_chunks)
+    lo, hi, n = fn(params, mask, jnp.int32(0), jnp.float32(alpha_thresh))
+    if int(n) == 0:
         return 1.0, -1.0, 1.0, -1.0, 2.0
-    uvs = uv[sel] * 0.5 + uv_shift
-    minx = float(max(uvs[:, 0].min(), -1.0))
-    miny = float(max(uvs[:, 1].min(), -1.0))
-    maxx = float(min(uvs[:, 0].max(), 1.0))
-    maxy = float(min(uvs[:, 1].max(), 1.0))
+    lo = np.asarray(lo) * 0.5 + uv_shift
+    hi = np.asarray(hi) * 0.5 + uv_shift
+    minx = float(max(lo[0], -1.0))
+    miny = float(max(lo[1], -1.0))
+    maxx = float(min(hi[0], 1.0))
+    maxy = float(min(hi[1], 1.0))
     edge = float(max(maxx - minx, maxy - miny))
     return maxx, minx, maxy, miny, edge
 

@@ -50,11 +50,11 @@ def prepare_frames(cfg: PipelineConfig) -> Path:
     return frames_dir
 
 
-def make_flow_provider(cfg: PipelineConfig):
+def make_flow_provider(cfg: PipelineConfig, mesh=None):
     ckpt = Path(cfg.ckpt_raft)
     for candidate in (ckpt, ckpt.with_suffix(".pth")):
         if candidate.exists():
-            return RAFTFlow(candidate)
+            return RAFTFlow(candidate, mesh=mesh)
     print(f"[deflicker_tpu] RAFT checkpoint {ckpt} not found — "
           "falling back to Farneback flow (reduced quality)")
     return FarnebackFlow()
@@ -66,7 +66,7 @@ def run_stage1(frames_dir: Path, cfg: PipelineConfig,
     """Flow preprocessing + atlas fit + render; mirrors
     src/stage1_neural_atlas[_seg].py main()."""
     t0 = time.time()
-    preprocess_optical_flow(frames_dir, make_flow_provider(cfg),
+    preprocess_optical_flow(frames_dir, make_flow_provider(cfg, mesh=mesh),
                             max_long_edge=cfg.max_long_edge)
     t_flow = time.time() - t0
 
@@ -104,6 +104,7 @@ def run_stage1(frames_dir: Path, cfg: PipelineConfig,
 
     start_iteration = 0
     opt_state = None
+    t_pretrain = 0.0          # stays 0 on the resume branch (no pretrain)
     if atlas_cfg.load_checkpoint and atlas_cfg.checkpoint_path:
         ckpt = load_checkpoint(atlas_cfg.checkpoint_path)
         params = ckpt["params"]
@@ -170,6 +171,7 @@ def run_stage1(frames_dir: Path, cfg: PipelineConfig,
         "num_frames": T,
         "res": (H, W),
         "t_flow": t_flow,
+        "t_pretrain": t_pretrain,
         "t_fit": t_fit,
         "t_render": t_render,
         "iters_per_sec": iters_done / t_fit if t_fit > 0 else 0.0,
@@ -178,7 +180,7 @@ def run_stage1(frames_dir: Path, cfg: PipelineConfig,
 
 def run_stage2(frames_dir: Path, cfg: PipelineConfig,
                results_root: Optional[Path] = None,
-               style_dir: Optional[Path] = None) -> Dict:
+               style_dir: Optional[Path] = None, mesh=None) -> Dict:
     """Neural filter + local refinement; mirrors
     src/neural_filter_and_refinement.py."""
     from ..filter import load_filter_engine
@@ -187,7 +189,7 @@ def run_stage2(frames_dir: Path, cfg: PipelineConfig,
     results_root = Path(results_root or cfg.results_root)
     style_dir = style_dir or results_root / vid / "stage_1" / "output"
     t0 = time.time()
-    engine = load_filter_engine(cfg.ckpt_filter, cfg.ckpt_local)
+    engine = load_filter_engine(cfg.ckpt_filter, cfg.ckpt_local, mesh=mesh)
     engine.run(frames_dir, style_dir, results_root / vid, fps=cfg.fps)
     return {"t_stage2": time.time() - t0,
             "final_dir": results_root / vid / "final" / "output"}
@@ -212,7 +214,7 @@ def run_pipeline(cfg: PipelineConfig,
         preprocess_masks(frames_dir, provider)
 
     s1 = run_stage1(frames_dir, cfg, atlas_cfg, dual, mesh=mesh)
-    s2 = run_stage2(frames_dir, cfg)
+    s2 = run_stage2(frames_dir, cfg, mesh=mesh)
 
     total = time.time() - t_start
     out = {**s1, **s2, "t_total": total,

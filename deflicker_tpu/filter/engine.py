@@ -35,14 +35,23 @@ from ..models.unet import UNet
 from ..ops.pad import Padder
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
+@functools.partial(jax.jit, static_argnames=("dtype", "mesh"))
 def filter_frames(variables: Dict, content: jax.Array, style: jax.Array,
-                  dtype=jnp.float32) -> jax.Array:
+                  dtype=jnp.float32, mesh=None) -> jax.Array:
     """P = UNet(cat(content, atlas-frame)) on a batch of frames
-    (neural_filter_and_refinement.py:97)."""
+    (neural_filter_and_refinement.py:97).
+
+    With a mesh, the frame batch shards over the data axis (per-frame
+    independent — pure data parallelism; params replicate, XLA SPMD splits
+    every conv along the batch dim with no collectives in the forward).
+    """
+    from ..parallel import shard_constraint
+
     net = UNet(in_channels=6, out_channels=3, features=32, dtype=dtype)
     x = jnp.concatenate([content, style], axis=-1).astype(dtype)
-    return net.apply(variables, x).astype(jnp.float32)
+    x = shard_constraint(x, mesh)
+    out = net.apply(variables, x).astype(jnp.float32)
+    return shard_constraint(out, mesh)
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
@@ -69,11 +78,15 @@ def refine_sequence(variables: Dict, preds: jax.Array,
 
 class FilterEngine:
     def __init__(self, filter_variables: Dict, local_variables: Dict,
-                 dtype=jnp.float32, batch: int = 8):
+                 dtype=jnp.float32, batch: int = 8, mesh=None):
         self.filter_variables = filter_variables
         self.local_variables = local_variables
         self.dtype = dtype
         self.batch = batch
+        self.mesh = mesh
+        if mesh is not None and batch % mesh.size != 0:
+            # keep the sharded frame batch even across devices
+            self.batch = ((batch + mesh.size - 1) // mesh.size) * mesh.size
 
     def run(self, content_dir: str | Path, style_dir: str | Path,
             results_dir: str | Path, fps: int = 10,
@@ -105,14 +118,27 @@ class FilterEngine:
             style[t] = s
 
         padder = Padder(H, W, divisor=32, mode="other")
-        preds = np.zeros((T,) + padder.padded_hw + (3,), np.float32)
-        content_p = padder.pad(jnp.asarray(content))
-        style_p = padder.pad(jnp.asarray(style))
-        for s0 in range(0, T, self.batch):
-            s1 = min(s0 + self.batch, T)
+        # pad T to a batch multiple (repeat the last frame) so every chunk —
+        # including the tail — has the same shape: exactly ONE XLA compile
+        # (each stray shape costs a full recompile; minutes through this
+        # environment's remote compile server)
+        T_pad = ((T + self.batch - 1) // self.batch) * self.batch
+        if T_pad != T:
+            tail = np.repeat(content[-1:], T_pad - T, axis=0)
+            content_all = np.concatenate([content, tail], axis=0)
+            style_all = np.concatenate(
+                [style, np.repeat(style[-1:], T_pad - T, axis=0)], axis=0)
+        else:
+            content_all, style_all = content, style
+        preds = np.zeros((T_pad,) + padder.padded_hw + (3,), np.float32)
+        content_p = padder.pad(jnp.asarray(content_all))
+        style_p = padder.pad(jnp.asarray(style_all))
+        for s0 in range(0, T_pad, self.batch):
+            s1 = s0 + self.batch
             preds[s0:s1] = np.asarray(filter_frames(
                 self.filter_variables, content_p[s0:s1], style_p[s0:s1],
-                dtype=self.dtype))
+                dtype=self.dtype, mesh=self.mesh))
+        preds = preds[:T]
 
         refined = np.asarray(refine_sequence(self.local_variables,
                                              jnp.asarray(preds),
@@ -137,7 +163,7 @@ class FilterEngine:
 def load_filter_engine(ckpt_filter: Optional[str | Path],
                        ckpt_local: Optional[str | Path],
                        dtype=jnp.float32, batch: int = 8,
-                       seed: int = 2023) -> FilterEngine:
+                       seed: int = 2023, mesh=None) -> FilterEngine:
     """Build a FilterEngine from checkpoints; falls back to seeded random
     init when a checkpoint path is missing (smoke runs without pretrained
     weights — results are not meaningful, but the pipeline exercises)."""
@@ -153,4 +179,4 @@ def load_filter_engine(ckpt_filter: Optional[str | Path],
         lvars = load_stage2_checkpoint(ckpt_local)
     else:
         lvars = transformnet_init(jax.random.key(seed + 1))
-    return FilterEngine(fvars, lvars, dtype=dtype, batch=batch)
+    return FilterEngine(fvars, lvars, dtype=dtype, batch=batch, mesh=mesh)

@@ -54,7 +54,7 @@ class RAFTFlow:
 
     def __init__(self, checkpoint: Optional[str | Path] = None,
                  variables: Optional[dict] = None, iters: int = 20,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, mesh=None):
         from .convert import load_raft_checkpoint
 
         if variables is None:
@@ -66,18 +66,27 @@ class RAFTFlow:
         # bfloat16 convs/GRU = the reference's autocast mixed precision
         # (raft_wrapper.py:19); flow math stays f32 inside raft_flow.
         self.dtype = dtype
+        # with a mesh, the pair batch shards over the data axis
+        self.mesh = mesh
 
     def compute_batch(self, im1: np.ndarray, im2: np.ndarray) -> np.ndarray:
         """Flow for a batch of pairs: (B, H, W, 3) x2 in [0,255] -> (B, H, W, 2)."""
         from ..models.raft import raft_flow
 
         B, H, W, _ = im1.shape
+        # pad B so the sharded batch stays even across devices (repeat the
+        # last pair; padding work is discarded below)
+        B_pad = B
+        if self.mesh is not None and B % self.mesh.size != 0:
+            B_pad = ((B + self.mesh.size - 1) // self.mesh.size) * self.mesh.size
+            im1 = np.concatenate([im1, np.repeat(im1[-1:], B_pad - B, 0)], 0)
+            im2 = np.concatenate([im2, np.repeat(im2[-1:], B_pad - B, 0)], 0)
         padder = Padder(H, W, divisor=8, mode="sintel")
         x1 = padder.pad(jnp.asarray(im1))
         x2 = padder.pad(jnp.asarray(im2))
         _, flow_up = raft_flow(self.variables, x1, x2, iters=self.iters,
-                               dtype=self.dtype)
-        return np.asarray(padder.unpad(flow_up))
+                               dtype=self.dtype, mesh=self.mesh)
+        return np.asarray(padder.unpad(flow_up))[:B]
 
     def compute_pair(self, im1: np.ndarray, im2: np.ndarray):
         both = self.compute_batch(np.stack([im1, im2]), np.stack([im2, im1]))

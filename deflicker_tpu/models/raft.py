@@ -409,10 +409,11 @@ def corr_lookup_online(fmap1: jax.Array, fmap2_pyramid: Sequence[jax.Array],
 # driver
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("iters", "dtype", "corr_mode"))
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "dtype", "corr_mode", "mesh"))
 def raft_flow(variables: Dict, image1: jax.Array, image2: jax.Array,
-              iters: int = 20, dtype=jnp.float32, corr_mode: str = "auto"
-              ) -> Tuple[jax.Array, jax.Array]:
+              iters: int = 20, dtype=jnp.float32, corr_mode: str = "auto",
+              mesh=None) -> Tuple[jax.Array, jax.Array]:
     """Estimate flow image1 -> image2 (raft.py:93-146, test_mode semantics).
 
     image1/image2: (B, H, W, 3) in [0, 255], H and W divisible by 8.
@@ -422,8 +423,16 @@ def raft_flow(variables: Dict, image1: jax.Array, image2: jax.Array,
     matmul, HBM-heavy); 'online' = window correlation on the fly
     (AlternateCorrBlock role — O(HW*81*D) compute, tiny memory); 'auto'
     picks online when the materialized pyramid would exceed ~2 GB.
+
+    With a mesh, the pair batch B shards over the data axis — frame pairs
+    are independent, so every conv / corr / GRU step splits along B with
+    params replicated and zero forward collectives (XLA SPMD).
     """
+    from ..parallel import shard_constraint
+
     model = RAFTModules(dtype=dtype)
+    image1 = shard_constraint(image1, mesh)
+    image2 = shard_constraint(image2, mesh)
     im1 = (2.0 * (image1 / 255.0) - 1.0).astype(dtype)
     im2 = (2.0 * (image2 / 255.0) - 1.0).astype(dtype)
 
@@ -471,7 +480,7 @@ def raft_flow(variables: Dict, image1: jax.Array, image2: jax.Array,
     up_mask = apply(net, method=lambda m, x: m.update_block.mask_head(x))
     flow_up = convex_upsample_flow(flow_low, up_mask.astype(jnp.float32),
                                    factor=8)
-    return flow_low, flow_up
+    return shard_constraint(flow_low, mesh), shard_constraint(flow_up, mesh)
 
 
 def raft_init(key: jax.Array, dtype=jnp.float32,

@@ -74,6 +74,23 @@ class CarvekitMasks:
         return (alpha > 0.5).astype(np.float32)
 
 
+def select_instance_mask(masks: np.ndarray, classes: np.ndarray,
+                         class_names: List[str], class_name: str,
+                         hw) -> np.ndarray:
+    """The reference's instance-selection semantics
+    (src/preprocess_mask_rcnn.py:42-58): class 'anything' -> the first
+    detected instance; otherwise the first instance whose COCO class name
+    matches; an all-black mask when nothing qualifies."""
+    if class_name != "anything":
+        keep = [k for k, c in enumerate(classes)
+                if class_names[c] == class_name]
+    else:
+        keep = list(range(len(classes)))
+    if not keep:
+        return np.zeros(hw, np.float32)
+    return masks[keep[0]].astype(np.float32)
+
+
 class MaskRCNNMasks:
     """COCO instance masks via detectron2 (reference:
     src/preprocess_mask_rcnn.py:18-58): threshold 0.5; first instance for
@@ -105,14 +122,8 @@ class MaskRCNNMasks:
         inst = out["instances"]
         masks = inst.pred_masks.cpu().numpy()
         classes = inst.pred_classes.cpu().numpy()
-        if self.class_name != "anything":
-            keep = [k for k, c in enumerate(classes)
-                    if self.classes[c] == self.class_name]
-        else:
-            keep = list(range(len(classes)))
-        if not keep:
-            return np.zeros(rgb.shape[:2], np.float32)
-        return masks[keep[0]].astype(np.float32)
+        return select_instance_mask(masks, classes, self.classes,
+                                    self.class_name, rgb.shape[:2])
 
 
 class GrabCutMasks:

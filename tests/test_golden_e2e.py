@@ -1,0 +1,155 @@
+"""Golden end-to-end stage-2 parity: reference torch pipeline vs ours.
+
+Per-module parity (test_stage2.py) can't catch stage-WIRING mistakes: the
+frame ordering into TransformNet(cat(P_t, O_{t-1}, P_t, P_{t-1}))
+(src/neural_filter_and_refinement.py:99-109), the style-frame resize to the
+content size (:92), the /32 'other' replicate padding (:93-94), the
+unpad-by-RESIZE quirk (:111-121), or the PNG save/quantization path.
+
+This test replicates the reference's stage-2 loop verbatim using the
+reference's OWN torch modules and utils (load_image, InputPadder,
+tensor2img, save_img) with fixed-seed random weights, saves those weights
+as .pth checkpoints, runs OUR FilterEngine on the same content/style
+directories through the public checkpoint-conversion path, and asserts the
+final output frames agree — the end-to-end golden-parity check VERDICT r1
+asked for (no pretrained weights ship with the reference; identical random
+weights prove the wiring equally well).
+
+The reference script itself hard-requires CUDA (neural_filter_and_refinement
+.py:38-39), so the loop body is reproduced here line-for-line on CPU.
+"""
+
+import sys
+from argparse import Namespace
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+
+def _make_clip(tmp_path, T=4, H=40, W=52):
+    """Tiny clip: content at (H, W), style at a DIFFERENT size so the
+    style->content resize path is exercised."""
+    import cv2
+
+    rng = np.random.default_rng(42)
+    content_dir = tmp_path / "data" / "vid"
+    style_dir = tmp_path / "results" / "vid" / "stage_1" / "output"
+    content_dir.mkdir(parents=True)
+    style_dir.mkdir(parents=True)
+    # smooth-ish content (random low-res upsampled) so bilinear paths see
+    # non-trivial gradients rather than pixel noise
+    for t in range(T):
+        low = rng.uniform(0, 255, (H // 4, W // 4, 3)).astype(np.uint8)
+        img = cv2.resize(low, (W, H), interpolation=cv2.INTER_LINEAR)
+        cv2.imwrite(str(content_dir / f"{t:05d}.png"), img)
+        low_s = rng.uniform(0, 255, (H // 2, W // 2, 3)).astype(np.uint8)
+        cv2.imwrite(str(style_dir / f"{t:05d}.png"), low_s)
+    return content_dir, style_dir
+
+
+def _run_reference_stage2(content_dir, style_dir, out_dir, filter_net,
+                          local_net):
+    """src/neural_filter_and_refinement.py:89-121, verbatim on CPU."""
+    import cv2
+    import torch
+
+    import src.models.utils as utils
+    from src.models.utils import InputPadder, load_image, tensor2img
+
+    device = torch.device("cpu")
+    content_names = sorted(Path(content_dir).glob("*.png"))
+    style_names = sorted(Path(style_dir).glob("*.png"))
+    final_dir = Path(out_dir) / "final" / "output"
+    filter_dir = Path(out_dir) / "neural_filter" / "output"
+    final_dir.mkdir(parents=True, exist_ok=True)
+    filter_dir.mkdir(parents=True, exist_ok=True)
+
+    for frame_id in range(len(content_names)):
+        frame_content, org_size = load_image(str(content_names[frame_id]),
+                                             device=device, resize=False)
+        frame_style, _ = load_image(str(style_names[frame_id]),
+                                    size=org_size, device=device,
+                                    resize=False)
+        padder = InputPadder(frame_content.shape)
+        frame_content, frame_style = padder.pad(frame_content, frame_style)
+
+        with torch.no_grad():
+            frame_pred = filter_net(
+                torch.cat([frame_content, frame_style], dim=1))
+            if frame_id == 0:
+                frame_o1 = frame_pred
+                frame_o2 = frame_pred
+                frame_p1 = frame_pred
+            else:
+                frame_p2 = frame_pred
+                inputs = torch.cat((frame_p2, frame_o1, frame_p2, frame_p1),
+                                   dim=1)
+                output, _ = local_net(inputs, None)
+                frame_o2 = frame_p2 + output
+                frame_p1 = frame_p2
+                frame_o1 = frame_o2
+
+        frame_pred = tensor2img(frame_pred)
+        frame_pred = cv2.resize(frame_pred, org_size, cv2.INTER_LINEAR)
+        utils.save_img(frame_pred,
+                       str(filter_dir / f"{frame_id:05d}.png"))
+        frame_o2_img = tensor2img(frame_o2)
+        frame_o2_img = cv2.resize(frame_o2_img, org_size, cv2.INTER_LINEAR)
+        utils.save_img(frame_o2_img,
+                       str(final_dir / f"{frame_id:05d}.png"))
+    return final_dir, filter_dir
+
+
+@pytest.mark.parametrize("T", [4])
+def test_stage2_golden_parity(tmp_path, T):
+    torch = pytest.importorskip("torch")
+    from src.models.network_filter import UNet as TorchUNet
+    from src.models.network_local import TransformNet as TorchTN
+
+    from deflicker_tpu.filter.engine import load_filter_engine
+
+    content_dir, style_dir = _make_clip(tmp_path, T=T)
+
+    # fixed-seed random weights = the golden checkpoint (the reference seeds
+    # stage 2 with 2023, neural_filter_and_refinement.py:27-30)
+    torch.manual_seed(2023)
+    filter_net = TorchUNet(in_channels=6, out_channels=3, init_features=32)
+    local_net = TorchTN(Namespace(nf=32, norm="IN", model="TransformNet",
+                                  blocks=5), nc_in=12, nc_out=3)
+    filter_net.eval()
+    local_net.eval()
+    ckpt_filter = tmp_path / "neural_filter.pth"
+    ckpt_local = tmp_path / "local_refinement_net.pth"
+    torch.save(filter_net.state_dict(), str(ckpt_filter))
+    torch.save(local_net.state_dict(), str(ckpt_local))
+
+    ref_final, ref_filter = _run_reference_stage2(
+        content_dir, style_dir, tmp_path / "ref_results", filter_net,
+        local_net)
+
+    # ours: same content/style dirs, weights loaded from the .pth files
+    # through the public conversion path (cli --ckpt_filter/--ckpt_local)
+    engine = load_filter_engine(ckpt_filter, ckpt_local)
+    ours_root = tmp_path / "our_results"
+    engine.run(content_dir, style_dir, ours_root, fps=10, save_concat=False)
+
+    import cv2
+
+    for sub, ref_dir in (("final/output", ref_final),
+                         ("neural_filter/output", ref_filter)):
+        for t in range(T):
+            ref_img = cv2.imread(str(ref_dir / f"{t:05d}.png")).astype(
+                np.int32)
+            our_img = cv2.imread(str(ours_root / sub / f"{t:05d}.png")
+                                 ).astype(np.int32)
+            assert our_img.shape == ref_img.shape
+            diff = np.abs(ref_img - our_img)
+            # fp noise + independent PNG quantization: allow +-2/255 with
+            # mean far tighter
+            assert diff.max() <= 3, (sub, t, diff.max())
+            assert diff.mean() < 0.15, (sub, t, diff.mean())

@@ -55,6 +55,48 @@ def test_sharded_fit_matches_single_device():
     np.testing.assert_allclose(sharded, single, rtol=1e-4)
 
 
+def test_sharded_raft_matches_single_device():
+    """RAFT pair batch sharded over the mesh == unsharded (pure data
+    parallelism: replicated params, per-pair independent compute)."""
+    from deflicker_tpu.models.raft import raft_flow, raft_init
+    from deflicker_tpu.parallel import batch_sharding, make_mesh
+
+    variables = raft_init(jax.random.key(0), image_hw=(32, 32))
+    rng = np.random.default_rng(0)
+    im1 = jnp.asarray(rng.uniform(0, 255, (8, 32, 32, 3)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (8, 32, 32, 3)).astype(np.float32))
+
+    _, single = raft_flow(variables, im1, im2, iters=2,
+                          corr_mode="materialized")
+    mesh = make_mesh(8)
+    sh = batch_sharding(mesh)
+    _, sharded = raft_flow(variables, jax.device_put(im1, sh),
+                           jax.device_put(im2, sh), iters=2,
+                           corr_mode="materialized", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_filter_matches_single_device():
+    """Stage-2 UNet frame batch sharded over the mesh == unsharded."""
+    from deflicker_tpu.filter.engine import filter_frames
+    from deflicker_tpu.models.unet import unet_init
+    from deflicker_tpu.parallel import batch_sharding, make_mesh
+
+    variables = unet_init(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    content = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32))
+
+    single = filter_frames(variables, content, style)
+    mesh = make_mesh(8)
+    sh = batch_sharding(mesh)
+    sharded = filter_frames(variables, jax.device_put(content, sh),
+                            jax.device_put(style, sh), mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_sharded_render_matches():
     from deflicker_tpu.atlas.engine import build_specs, init_models
     from deflicker_tpu.atlas.render import render_frame
