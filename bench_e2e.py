@@ -330,8 +330,185 @@ print("JAXCPU_RESULT", json.dumps({"its": %d / (time.perf_counter() - t0)}))
     }})
 
 
+# ---------------------------------------------------------------------------
+# correlation-lookup mode shootout (materialized vs online-XLA vs Pallas)
+# ---------------------------------------------------------------------------
+
+def bench_corr(D=256, iters=20, reps=3):
+    """ms per 20-iteration lookup sequence (the GRU loop's corr cost) for
+    each corr mode at three working scales:
+      45x80   = 640x360 native /8 (the bundled test video)
+      90x160  = 1280x720 /8
+      142x250 = ~2000px long edge /8 (reference max_long_edge cap)
+    Materialized is skipped where the volume exceeds ~2 GB (the auto
+    threshold).  Numbers decide corr_mode='auto' routing in models/raft.py.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deflicker_tpu.models.raft import (build_corr_pyramid,
+                                           build_fmap_pyramid, corr_lookup,
+                                           corr_lookup_online)
+    from deflicker_tpu.ops.pallas.corr_kernel import (corr_lookup_pallas,
+                                                      pad_fmap_pyramid)
+
+    rng = np.random.default_rng(0)
+    results = {}
+    for H, W in [(45, 80), (90, 160), (142, 250)]:
+        n_pix = H * W
+        vol_gb = n_pix * n_pix * 4 * 1.34 / 1e9
+        f1 = jnp.asarray(rng.normal(size=(1, H, W, D)).astype(np.float32))
+        f2 = jnp.asarray(rng.normal(size=(1, H, W, D)).astype(np.float32))
+        ys, xs = np.meshgrid(np.arange(H, dtype=np.float32),
+                             np.arange(W, dtype=np.float32), indexing="ij")
+        coords0 = jnp.asarray(np.stack([xs, ys], -1)[None])
+
+        def seq(lookup_fn, coords0):
+            """iters lookups with drifting coords — the GRU access pattern."""
+            def step(c, _):
+                corr = lookup_fn(c)
+                # cheap data-dependent drift so lookups can't be CSE'd
+                c = c + 0.07 * jnp.tanh(corr[..., :2])
+                return c, ()
+            c, _ = jax.lax.scan(step, coords0, None, length=iters)
+            return c
+
+        modes = {}
+
+        def timed(name, make_lookup):
+            fn = jax.jit(lambda f1, f2, c0: seq(make_lookup(f1, f2), c0))
+            out = fn(f1, f2, coords0)
+            float(out[0, 0, 0, 0])             # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(f1, f2, coords0)
+                float(out[0, 0, 0, 0])         # readback barrier
+            modes[name] = round((time.perf_counter() - t0) / reps * 1e3, 1)
+
+        if vol_gb < 2.0:
+            timed("materialized", lambda f1, f2:
+                  (lambda pyr: lambda c: corr_lookup(pyr, c))(
+                      build_corr_pyramid(f1, f2)))
+        timed("pallas_bf16", lambda f1, f2:
+              (lambda pad: lambda c: corr_lookup_pallas(f1, pad, c))(
+                  pad_fmap_pyramid(build_fmap_pyramid(f2),
+                                   dtype=jnp.bfloat16)))
+        timed("pallas_f32", lambda f1, f2:
+              (lambda pad: lambda c: corr_lookup_pallas(f1, pad, c))(
+                  pad_fmap_pyramid(build_fmap_pyramid(f2))))
+        if n_pix <= 4000:                      # online-XLA is very slow; cap
+            timed("online_xla", lambda f1, f2:
+                  (lambda pyr: lambda c: corr_lookup_online(f1, pyr, c))(
+                      build_fmap_pyramid(f2)))
+        results[f"{H}x{W}"] = {"volume_gb": round(vol_gb, 2),
+                               "ms_per_20_lookups": modes}
+        print(f"{H}x{W}: {modes}")
+    _merge({"corr": {
+        "metric": "corr_lookup_ms_per_20iter_sequence",
+        "config": f"D={D}, B=1, radius 4, 4 levels",
+        "results": results,
+        "device": _device_str(),
+    }})
+
+
+# ---------------------------------------------------------------------------
+# full-scale hardening (VERDICT item 5): full-res fit + mid-run resume +
+# 100k-config boundary smoke
+# ---------------------------------------------------------------------------
+
+def bench_hardening():
+    """(a) full-res (down 1 = 640x360) 10k-iteration single-atlas fit on the
+    real test video, interrupted at 5000 iterations, checkpointed, resumed
+    from the checkpoint, and rendered — the reference's heavy path
+    (README.md:111) exercised end to end on TPU.  (b) a 100k-config smoke
+    (iters_num=100001 truncated to 12001) crossing the stop_global_rigidity
+    boundary and a 10000-iteration eval point, validating the chunked
+    schedule logic at reference-heavy settings."""
+    import dataclasses
+    import tempfile
+
+    import jax
+    import optax
+
+    import bench as B
+    from deflicker_tpu.atlas.engine import (build_specs, fit_atlas,
+                                            init_models, pretrain_mapping)
+    from deflicker_tpu.atlas.render import evaluate_and_save
+    from deflicker_tpu.config import AtlasConfig
+    from deflicker_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    T, H, W = 80, 360, 640                      # down=1 for the test video
+    data = B.real_video_data(T, H, W)
+    assert data is not None, "test video missing"
+    cfg = AtlasConfig()                          # 10001 iters, eval @ 10000
+    specs = build_specs(cfg, dual=False)
+    key = jax.random.key(0)
+    params = init_models(key, specs)
+    params["mapping1"] = pretrain_mapping(
+        params["mapping1"], specs.mapping1, jax.random.key(1), T, H, W,
+        cfg.uv_mapping_scale, cfg.pretrain_iter_number)
+
+    with tempfile.TemporaryDirectory() as td:
+        out_dir = Path(td)
+        # ---- phase 1: fit to 5000, checkpoint (simulated interruption)
+        half_cfg = dataclasses.replace(cfg, iters_num=5001)
+        t0 = time.perf_counter()
+        r1 = fit_atlas(params, specs, data, half_cfg, jax.random.key(2))
+        t_half = time.perf_counter() - t0
+        ck = save_checkpoint(out_dir / "checkpoint", {
+            "params": r1.params, "opt_state": r1.opt_state,
+            "iteration": r1.iteration})
+
+        # ---- phase 2: resume from the checkpoint to 10000 + final render
+        st = load_checkpoint(ck)
+        t0 = time.perf_counter()
+        r2 = fit_atlas(st["params"], specs, data, cfg, jax.random.key(3),
+                       start_iteration=int(st["iteration"]),
+                       opt_state=st["opt_state"])
+        t_second = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, psnr = evaluate_and_save(r2.params, specs, data, cfg, out_dir,
+                                    r2.iteration - 1, r2.opt_state)
+        t_render = time.perf_counter() - t0
+
+    full_its = 10000 / (t_half + t_second)
+    _merge({"hardening_fullres": {
+        "metric": "fullres_fit_iters_per_sec",
+        "value": round(full_its, 1),
+        "config": f"{T}x{H}x{W} (down 1), 10k iters total, mid-run "
+                  "checkpoint+resume at 5000, single-atlas, real video",
+        "t_first_5k": round(t_half, 1), "t_resumed_5k": round(t_second, 1),
+        "t_render": round(t_render, 1),
+        "stage1_psnr_fullres": round(float(psnr), 2),
+        "device": _device_str(),
+    }})
+
+    # ---- (b) 100k-config smoke: heavy schedule truncated after the
+    # boundary + eval point (boundary at 5001, eval at 10000)
+    T2, H2, W2 = 80, 108, 192
+    data2 = B.real_video_data(T2, H2, W2)
+    cfg2 = dataclasses.replace(cfg, iters_num=12001)
+    evals = []
+    specs2 = build_specs(cfg2, dual=False)
+    params2 = init_models(jax.random.key(4), specs2)
+    t0 = time.perf_counter()
+    r = fit_atlas(params2, specs2, data2, cfg2, jax.random.key(5),
+                  eval_callback=lambda i, p, o: evals.append(i))
+    dt = time.perf_counter() - t0
+    _merge({"hardening_100k_smoke": {
+        "metric": "heavy_schedule_smoke",
+        "iters_run": r.iteration, "t_total": round(dt, 1),
+        "its": round(r.iteration / dt, 1),
+        "eval_fired_at": evals,
+        "config": "100k-style schedule truncated at 12001: crosses "
+                  "stop_global_rigidity=5000 boundary + 10000 eval point",
+        "device": _device_str(),
+    }})
+
+
 BENCHES = {"raft": bench_raft, "stage2": bench_stage2, "e2e": bench_e2e,
-           "torchref": bench_torchref, "jaxcpu": bench_jaxcpu}
+           "torchref": bench_torchref, "jaxcpu": bench_jaxcpu,
+           "corr": bench_corr, "hardening": bench_hardening}
 
 
 if __name__ == "__main__":

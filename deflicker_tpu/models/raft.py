@@ -420,9 +420,12 @@ def raft_flow(variables: Dict, image1: jax.Array, image2: jax.Array,
     Returns (flow_low (B, H/8, W/8, 2), flow_up (B, H, W, 2)).
 
     corr_mode: 'materialized' = all-pairs volume + pyramid (one big MXU
-    matmul, HBM-heavy); 'online' = window correlation on the fly
-    (AlternateCorrBlock role — O(HW*81*D) compute, tiny memory); 'auto'
-    picks online when the materialized pyramid would exceed ~2 GB.
+    matmul, HBM-heavy); 'online' = window correlation on the fly via XLA
+    gathers (AlternateCorrBlock role — O(HW*81*D) compute, tiny memory);
+    'pallas' = the patch-DMA Pallas kernel (ops/pallas/corr_kernel.py),
+    same memory profile as online with contiguous DMA instead of row
+    gathers; 'auto' picks materialized while the pyramid fits (~2 GB),
+    else pallas on TPU / online elsewhere.
 
     With a mesh, the pair batch B shards over the data axis — frame pairs
     are independent, so every conv / corr / GRU step splits along B with
@@ -446,11 +449,29 @@ def raft_flow(variables: Dict, image1: jax.Array, image2: jax.Array,
 
     n_pix = (image1.shape[1] // 8) * (image1.shape[2] // 8)
     if corr_mode == "auto":
-        volume_bytes = B * n_pix * n_pix * 4 * 1.34   # pyramid ~ 4/3 level 0
-        corr_mode = "online" if volume_bytes > 2e9 else "materialized"
+        from ..ops.pallas.corr_kernel import corr_pallas_available
+
+        if corr_pallas_available():
+            # measured on v5e (BENCH_E2E.json 'corr'): the patch-DMA kernel
+            # beats the materialized volume ~10x at 45x80 and ~15x at
+            # 90x160, and is the only mode that scales to long-edge-2000
+            # inputs — unconditional default on TPU
+            corr_mode = "pallas"
+        else:
+            volume_bytes = B * n_pix * n_pix * 4 * 1.34   # pyr ~ 4/3 lvl 0
+            corr_mode = "online" if volume_bytes > 2e9 else "materialized"
     if corr_mode == "materialized":
         pyramid = build_corr_pyramid(fmap1, fmap2)
         lookup = lambda coords: corr_lookup(pyramid, coords)
+    elif corr_mode == "pallas":
+        from ..ops.pallas.corr_kernel import (corr_lookup_pallas,
+                                              pad_fmap_pyramid)
+
+        # bf16 patch storage: halves the per-pixel DMA, within bf16
+        # tolerance of the f32 gather path (tests/test_pallas_corr.py)
+        padded = pad_fmap_pyramid(build_fmap_pyramid(fmap2),
+                                  dtype=jnp.bfloat16)
+        lookup = lambda coords: corr_lookup_pallas(fmap1, padded, coords)
     else:
         fpyr = build_fmap_pyramid(fmap2)
         lookup = lambda coords: corr_lookup_online(fmap1, fpyr, coords)

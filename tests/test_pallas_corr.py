@@ -1,0 +1,78 @@
+"""Pallas correlation-window-lookup kernel vs the XLA reference paths
+(interpret mode on CPU; the same kernel compiles with Mosaic on TPU).
+
+Oracle chain: materialized volume lookup (`corr_lookup`) == online XLA
+(`corr_lookup_online`, equivalence already covered in test_raft.py) ==
+the patch-DMA Pallas kernel (this file)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deflicker_tpu.models.raft import (build_corr_pyramid, build_fmap_pyramid,
+                                       corr_lookup, corr_lookup_online)
+from deflicker_tpu.ops.pallas.corr_kernel import (corr_lookup_pallas,
+                                                  pad_fmap_pyramid)
+
+
+def _setup(B=2, H=12, W=20, D=64, seed=0):
+    rng = np.random.default_rng(seed)
+    fmap1 = jnp.asarray(rng.normal(size=(B, H, W, D)).astype(np.float32))
+    fmap2 = jnp.asarray(rng.normal(size=(B, H, W, D)).astype(np.float32))
+    return fmap1, fmap2
+
+
+def _coords(B, H, W, spread, seed=1):
+    """Base grid + random flow; `spread` pushes coords out of bounds."""
+    rng = np.random.default_rng(seed)
+    ys, xs = np.meshgrid(np.arange(H, dtype=np.float32),
+                         np.arange(W, dtype=np.float32), indexing="ij")
+    base = np.stack([xs, ys], axis=-1)[None].repeat(B, axis=0)
+    return jnp.asarray(base + rng.uniform(-spread, spread,
+                                          (B, H, W, 2)).astype(np.float32))
+
+
+@pytest.mark.parametrize("spread", [3.0, 40.0])
+def test_matches_materialized(spread):
+    """spread=40 drives many windows fully/partially out of bounds on a
+    12x20 level — exercises the clamp + zero-pad path."""
+    fmap1, fmap2 = _setup()
+    B, H, W, _ = fmap1.shape
+    coords = _coords(B, H, W, spread)
+
+    ref = corr_lookup(build_corr_pyramid(fmap1, fmap2), coords)
+    padded = pad_fmap_pyramid(build_fmap_pyramid(fmap2))
+    got = corr_lookup_pallas(fmap1, padded, coords, interpret=True)
+
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_matches_online_bf16_storage():
+    """bf16 patch storage (half the DMA traffic) stays within bf16 tolerance
+    of the f32 online path."""
+    fmap1, fmap2 = _setup(seed=2)
+    B, H, W, _ = fmap1.shape
+    coords = _coords(B, H, W, 5.0, seed=3)
+
+    ref = corr_lookup_online(fmap1, build_fmap_pyramid(fmap2), coords)
+    padded = pad_fmap_pyramid(build_fmap_pyramid(fmap2), dtype=jnp.bfloat16)
+    got = corr_lookup_pallas(fmap1, padded, coords,
+                             compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_nonaligned_pixel_count():
+    """H*W far from a CHUNK multiple: padding pixels must not corrupt
+    real outputs."""
+    fmap1, fmap2 = _setup(B=1, H=7, W=9, D=32, seed=4)
+    coords = _coords(1, 7, 9, 2.0, seed=5)
+    ref = corr_lookup(build_corr_pyramid(fmap1, fmap2), coords)
+    padded = pad_fmap_pyramid(build_fmap_pyramid(fmap2))
+    got = corr_lookup_pallas(fmap1, padded, coords, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
