@@ -506,9 +506,72 @@ def bench_hardening():
     }})
 
 
+# ---------------------------------------------------------------------------
+# batch multi-video throughput (BASELINE.md benchmark config 5)
+# ---------------------------------------------------------------------------
+
+def bench_batch(n_clips=3, iters=None):
+    """Split the bundled test video into `n_clips` equal-length clips and
+    run them through `cli.batch` — aggregate frames/s for the multi-video
+    path.  Equal clip lengths keep one set of XLA shapes (one compile,
+    amortized over the batch), which is the batching contract the CLI
+    documents."""
+    import os
+    import tempfile
+
+    import cv2
+
+    from deflicker_tpu.cli.batch import main as batch_main
+
+    iters = iters or int(os.environ.get("BENCH_BATCH_ITERS", 10001))
+    src = "/root/reference/data/test/Winter_Scenes_in_Holland.mp4"
+    cap = cv2.VideoCapture(src)
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(f)
+    cap.release()
+    per = len(frames) // n_clips
+
+    with tempfile.TemporaryDirectory() as td:
+        vids = []
+        for c in range(n_clips):
+            p = str(Path(td) / f"clip{c}.mp4")
+            wr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                                 (frames[0].shape[1], frames[0].shape[0]))
+            for f in frames[c * per:(c + 1) * per]:
+                wr.write(f)
+            wr.release()
+            vids.append(p)
+
+        t0 = time.perf_counter()
+        rc = batch_main(["--videos", *vids, "--down", "4",
+                         "--iters", str(iters),
+                         "--root", str(Path(td) / "data"),
+                         "--results_root", str(Path(td) / "results")])
+        dt = time.perf_counter() - t0
+        assert rc == 0
+        n_out = sum(
+            len(list((Path(td) / "results" / f"clip{c}" / "final" /
+                      "output").glob("*.png"))) for c in range(n_clips))
+    _merge({"batch": {
+        "metric": "batch_aggregate_frames_per_sec",
+        "value": round(n_out / dt, 3),
+        "clips": n_clips, "frames_total": n_out, "iters_per_clip": iters,
+        "t_total": round(dt, 1),
+        "device": _device_str(),
+        "note": "sequential per-host batch; multi-host fans videos out "
+                "over DCN with the same per-video code path",
+    }})
+
+
 BENCHES = {"raft": bench_raft, "stage2": bench_stage2, "e2e": bench_e2e,
            "torchref": bench_torchref, "jaxcpu": bench_jaxcpu,
-           "corr": bench_corr, "hardening": bench_hardening}
+           "corr": bench_corr, "hardening": bench_hardening,
+           "batch": bench_batch}
 
 
 if __name__ == "__main__":
