@@ -97,6 +97,7 @@ def main():
         data = None
     if data is None:
         source, data = "synthetic", synthetic_video_data(T, H, W)
+    data = data.with_packed()        # production fit path packs its gathers
     specs = build_specs(cfg, dual=False)
     params = init_models(jax.random.key(0), specs)
     optimizer = optax.adam(cfg.learning_rate)

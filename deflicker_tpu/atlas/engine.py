@@ -67,8 +67,9 @@ def select_imlp_apply(use_pallas: bool = False, precision: str = "highest"):
             and os.environ.get("DEFLICKER_NO_PALLAS") != "1"):
         from ..models.imlp import imlp_apply_fused
 
-        # bf16 multiplies + bf16 backward stash -> bigger tiles fit VMEM
-        tile = int(os.environ.get("DEFLICKER_PALLAS_TILE", "1024"))
+        # bf16 multiplies + bf16 backward stash -> bigger tiles fit VMEM;
+        # 1536 measured fastest on v5e (2048 overflows the 16 MB budget)
+        tile = int(os.environ.get("DEFLICKER_PALLAS_TILE", "1536"))
         return partial(imlp_apply_fused, tile=tile,
                        compute_dtype=jnp.bfloat16)
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
@@ -192,13 +193,20 @@ def make_loss_fn(specs: AtlasSpecs, cfg: AtlasConfig, data: VideoData,
     def loss_fn(params: Params, data: VideoData, j: jax.Array,
                 i: jax.Array, f: jax.Array):
         B = j.shape[0]
-        rgb_gt = data.video[f, i, j]
-        dx_gt = data.dx[f, i, j]
-        dy_gt = data.dy[f, i, j]
-        ffwd = data.flow_fwd[f, i, j]
-        fbwd = data.flow_bwd[f, i, j]
-        mfwd = data.mask_fwd[f, i, j]
-        mbwd = data.mask_bwd[f, i, j]
+        if data.packed is not None:
+            # one 16-channel row gather (see VideoData.with_packed)
+            g = data.packed[f, i, j]
+            rgb_gt, dx_gt, dy_gt = g[:, 0:3], g[:, 3:6], g[:, 6:9]
+            ffwd, fbwd = g[:, 9:11], g[:, 11:13]
+            mfwd, mbwd = g[:, 13], g[:, 14]
+        else:
+            rgb_gt = data.video[f, i, j]
+            dx_gt = data.dx[f, i, j]
+            dy_gt = data.dy[f, i, j]
+            ffwd = data.flow_fwd[f, i, j]
+            fbwd = data.flow_bwd[f, i, j]
+            mfwd = data.mask_fwd[f, i, j]
+            mbwd = data.mask_bwd[f, i, j]
 
         uv1 = run_mapping(params["mapping1"], specs.mapping1,
                           mapping_coords(j, i, f, ffwd, fbwd, gd_fg))
@@ -287,7 +295,8 @@ def make_loss_fn(specs: AtlasSpecs, cfg: AtlasConfig, data: VideoData,
             total = total + cfg.alpha_flow_factor * l_aflow
 
             if include_bootstrap:
-                mask_gt = data.mask[f, i, j]
+                mask_gt = (g[:, 15] if data.packed is not None
+                           else data.mask[f, i, j])
                 l_boot = alpha_bootstrap_loss(a, mask_gt)
                 aux["alpha_bootstrap"] = l_boot
                 total = total + cfg.alpha_bootstrapping_factor * l_boot
@@ -359,6 +368,7 @@ def fit_atlas(params: Params, specs: AtlasSpecs, data: VideoData,
     exactly once, at iteration 10000.
     """
     T, (H, W) = data.num_frames, data.res
+    data = data.with_packed()        # one-gather sampling (built outside jit)
     optimizer = optax.adam(cfg.learning_rate)
     if opt_state is None:
         opt_state = optimizer.init(params)
