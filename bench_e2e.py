@@ -510,12 +510,13 @@ def bench_hardening():
 # batch multi-video throughput (BASELINE.md benchmark config 5)
 # ---------------------------------------------------------------------------
 
-def bench_batch(n_clips=3, iters=None):
+def bench_batch(n_clips=3, iters=None, parallel=False):
     """Split the bundled test video into `n_clips` equal-length clips and
     run them through `cli.batch` — aggregate frames/s for the multi-video
     path.  Equal clip lengths keep one set of XLA shapes (one compile,
     amortized over the batch), which is the batching contract the CLI
-    documents."""
+    documents.  With `parallel=True` the clips' fits run SIMULTANEOUSLY in
+    one vmapped program (`--parallel_fit`, atlas/multifit.py)."""
     import os
     import tempfile
 
@@ -548,8 +549,9 @@ def bench_batch(n_clips=3, iters=None):
             vids.append(p)
 
         t0 = time.perf_counter()
+        flags = ["--parallel_fit"] if parallel else []
         rc = batch_main(["--videos", *vids, "--down", "4",
-                         "--iters", str(iters),
+                         "--iters", str(iters), *flags,
                          "--root", str(Path(td) / "data"),
                          "--results_root", str(Path(td) / "results")])
         dt = time.perf_counter() - t0
@@ -557,21 +559,27 @@ def bench_batch(n_clips=3, iters=None):
         n_out = sum(
             len(list((Path(td) / "results" / f"clip{c}" / "final" /
                       "output").glob("*.png"))) for c in range(n_clips))
-    _merge({"batch": {
+    key = "batch_parallel" if parallel else "batch"
+    note = ("parallel_fit: all clips fit in ONE vmapped program "
+            "(video-axis sharding over a mesh when devices allow)"
+            if parallel else
+            "sequential per-host batch; multi-host fans videos out "
+            "over DCN with the same per-video code path")
+    _merge({key: {
         "metric": "batch_aggregate_frames_per_sec",
         "value": round(n_out / dt, 3),
         "clips": n_clips, "frames_total": n_out, "iters_per_clip": iters,
         "t_total": round(dt, 1),
         "device": _device_str(),
-        "note": "sequential per-host batch; multi-host fans videos out "
-                "over DCN with the same per-video code path",
+        "note": note,
     }})
 
 
 BENCHES = {"raft": bench_raft, "stage2": bench_stage2, "e2e": bench_e2e,
            "torchref": bench_torchref, "jaxcpu": bench_jaxcpu,
            "corr": bench_corr, "hardening": bench_hardening,
-           "batch": bench_batch}
+           "batch": bench_batch,
+           "batch_parallel": lambda: bench_batch(parallel=True)}
 
 
 if __name__ == "__main__":

@@ -45,7 +45,8 @@ from .data import VideoData
 Params = Dict[str, list]
 
 
-def select_imlp_apply(use_pallas: bool = False, precision: str = "highest"):
+def select_imlp_apply(use_pallas: bool = False, precision: str = "highest",
+                      tile: "int | None" = None):
     """Pick the IMLP forward path.
 
     Default: the XLA path — measured FASTER than the Pallas fused kernel at
@@ -69,7 +70,8 @@ def select_imlp_apply(use_pallas: bool = False, precision: str = "highest"):
 
         # bf16 multiplies + bf16 backward stash -> bigger tiles fit VMEM;
         # 1536 measured fastest on v5e (2048 overflows the 16 MB budget)
-        tile = int(os.environ.get("DEFLICKER_PALLAS_TILE", "1536"))
+        if tile is None:
+            tile = int(os.environ.get("DEFLICKER_PALLAS_TILE", "1536"))
         return partial(imlp_apply_fused, tile=tile,
                        compute_dtype=jnp.bfloat16)
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
@@ -159,7 +161,8 @@ def make_loss_fn(specs: AtlasSpecs, cfg: AtlasConfig, data: VideoData,
     T, (H, W) = data.num_frames, data.res
     L = data.larger_dim
     dual = specs.dual
-    apply_mlp = select_imlp_apply(cfg.use_pallas_imlp, cfg.fit_precision)
+    apply_mlp = select_imlp_apply(cfg.use_pallas_imlp, cfg.fit_precision,
+                                  getattr(cfg, "pallas_tile", None))
     d = cfg.derivative_amount
     gd_fg = cfg.global_rigidity_derivative_amount_fg
     gd_bg = cfg.global_rigidity_derivative_amount_bg

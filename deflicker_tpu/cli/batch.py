@@ -1,13 +1,18 @@
 """Batch multi-video CLI (BASELINE.md benchmark config 5).
 
     python -m deflicker_tpu.cli.batch --videos a.mp4 b.mp4 ...
-    python -m deflicker_tpu.cli.batch --video_dir path/to/mp4s [--jobs 1]
+    python -m deflicker_tpu.cli.batch --video_dir path/to/mp4s [--parallel_fit]
 
-Videos run through the full pipeline sequentially on this host (each video
-already saturates the chip via the batch/frame sharding in `parallel/`);
-multi-host deployments fan videos out across hosts over DCN — one
-`run_pipeline` per host, same code path, no cross-host communication needed
-(the workload is embarrassingly parallel at video granularity).
+Default mode runs videos through the full pipeline sequentially; multi-host
+deployments fan videos out across hosts over DCN — one `run_pipeline` per
+host, no cross-host communication needed (the workload is embarrassingly
+parallel at video granularity).
+
+`--parallel_fit` is the TPU-native throughput mode the reference cannot
+express: same-shaped videos' atlas fits run SIMULTANEOUSLY via a vmapped,
+video-axis-sharded fit (`atlas.multifit`) — one compiled program fits the
+whole group, scaling over a mesh with zero collectives and batching the
+MLP matmuls even on one chip.
 
 Prints one JSON summary line per video plus an aggregate.
 """
@@ -18,6 +23,112 @@ import argparse
 import json
 import time
 from pathlib import Path
+
+
+def run_batch_parallel(videos, args, atlas_cfg, mesh=None) -> dict:
+    """Group-parallel pipeline: flow per video, then ONE vmapped fit per
+    same-shape group, then render + stage 2 per video."""
+    import jax
+
+    from ..atlas import (build_specs, evaluate_and_save, load_video_data)
+    from ..atlas.multifit import (fit_atlas_multi, group_by_shape,
+                                  init_models_multi, pretrain_mapping_multi,
+                                  stack_video_data)
+    from ..config import PipelineConfig
+    from ..io.media import list_frames, read_image
+    from ..seg import get_mask_provider, preprocess_masks
+    from .pipeline import make_flow_provider, prepare_frames
+    from ..flow import preprocess_optical_flow
+
+    dual = args.class_name is not None
+    results_root = Path(args.results_root)
+
+    def pipe_cfg(v):
+        return PipelineConfig(
+            video_name=v, fps=args.fps, class_name=args.class_name,
+            down=args.down, root=args.root, results_root=args.results_root,
+            ckpt_raft=args.ckpt_raft, ckpt_filter=args.ckpt_filter,
+            ckpt_local=args.ckpt_local)
+
+    t0 = time.time()
+    # host/RAFT preprocessing stays per video (batched internally)
+    frames_dirs, datas = [], []
+    flow_provider = None
+    for v in videos:
+        cfg = pipe_cfg(v)
+        fd = prepare_frames(cfg)
+        if flow_provider is None:
+            flow_provider = make_flow_provider(cfg, mesh=mesh)
+        preprocess_optical_flow(fd, flow_provider,
+                                max_long_edge=cfg.max_long_edge)
+        if dual:
+            preprocess_masks(fd, get_mask_provider(args.class_name))
+        first = read_image(list_frames(fd)[0])
+        resy, resx = first.shape[:2]
+        down = args.down if args.down is not None else (1 if dual else 4)
+        if down:
+            resx, resy = int(resx / down), int(resy / down)
+        frames_dirs.append(fd)
+        datas.append(load_video_data(fd, resy, resx,
+                                     atlas_cfg.maximum_number_of_frames,
+                                     use_masks=dual))
+
+    specs = build_specs(atlas_cfg, dual=dual)
+    psnrs = [0.0] * len(videos)
+    for g, (shape, idxs) in enumerate(group_by_shape(datas).items()):
+        V = len(idxs)
+        T, H, W = shape
+        data_v = stack_video_data([datas[i] for i in idxs])
+        key = jax.random.fold_in(jax.random.key(atlas_cfg.seed), g)
+        k_init, k_pre1, k_pre2, k_fit = jax.random.split(key, 4)
+        params_v = init_models_multi(k_init, specs, V)
+        if atlas_cfg.pretrain_mapping1:
+            params_v["mapping1"] = pretrain_mapping_multi(
+                params_v["mapping1"], specs.mapping1, k_pre1, V, T, H, W,
+                atlas_cfg.uv_mapping_scale, atlas_cfg.pretrain_iter_number)
+        if dual and atlas_cfg.pretrain_mapping2:
+            params_v["mapping2"] = pretrain_mapping_multi(
+                params_v["mapping2"], specs.mapping2, k_pre2, V, T, H, W,
+                atlas_cfg.uv_mapping_scale, atlas_cfg.pretrain_iter_number)
+        results = fit_atlas_multi(params_v, specs, data_v, atlas_cfg,
+                                  k_fit, mesh=mesh)
+        for v, i in enumerate(idxs):
+            folder = results_root / frames_dirs[i].name / "stage_1"
+            folder.mkdir(parents=True, exist_ok=True)
+            with open(folder / "config.json", "w") as f:
+                json.dump(atlas_cfg.to_reference_json(), f, indent=4)
+            _, psnrs[i] = evaluate_and_save(
+                results[v].params, specs, datas[i], atlas_cfg, folder,
+                results[v].iteration - 1, results[v].opt_state)
+
+    # stage 2: group by full resolution; the refinement recurrence advances
+    # each group's videos in lockstep (FilterEngine.run_multi)
+    from ..filter import load_filter_engine
+
+    engine = load_filter_engine(args.ckpt_filter, args.ckpt_local, mesh=mesh)
+    res_groups = {}
+    for i, fd in enumerate(frames_dirs):
+        hw = read_image(list_frames(fd)[0]).shape[:2]
+        res_groups.setdefault(hw, []).append(i)
+    for idxs in res_groups.values():
+        engine.run_multi(
+            [(frames_dirs[i],
+              results_root / frames_dirs[i].name / "stage_1" / "output",
+              results_root / frames_dirs[i].name) for i in idxs],
+            fps=args.fps)
+
+    total_frames = 0
+    for i, v in enumerate(videos):
+        total_frames += datas[i].num_frames
+        print(json.dumps({"video": frames_dirs[i].name,
+                          "frames": datas[i].num_frames,
+                          "psnr": round(psnrs[i], 2)}))
+    dt = time.time() - t0
+    summary = {"videos": len(videos), "frames": total_frames,
+               "t_total": round(dt, 1), "parallel_fit": True,
+               "frames_per_sec": round(total_frames / dt, 3)}
+    print(json.dumps(summary))
+    return summary
 
 
 def main(argv=None) -> int:
@@ -39,6 +150,9 @@ def main(argv=None) -> int:
     p.add_argument("--ckpt_local",
                    default="./pretrained_weights/local_refinement_net.pth",
                    type=str)
+    p.add_argument("--parallel_fit", action="store_true",
+                   help="fit same-shaped videos simultaneously (vmapped, "
+                        "video-axis-sharded over the mesh)")
     args = p.parse_args(argv)
 
     videos = list(args.videos or [])
@@ -60,6 +174,10 @@ def main(argv=None) -> int:
         atlas_cfg = dataclasses.replace(
             atlas_cfg, iters_num=args.iters,
             evaluate_every=max(1, args.iters - 1))
+
+    if args.parallel_fit:
+        run_batch_parallel(videos, args, atlas_cfg)
+        return 0
 
     t0 = time.time()
     total_frames = 0

@@ -91,6 +91,11 @@ class AtlasConfig:
     # kernel variant is slower than XLA, so fit_precision="highest" always
     # takes the XLA path).  DEFLICKER_NO_PALLAS=1 is the kill switch.
     use_pallas_imlp: bool = True
+    # Pallas fused-MLP batch tile rows.  None -> DEFLICKER_PALLAS_TILE env
+    # or the measured-fastest default (1536 on v5e).  The multi-video fit
+    # caps this at 1024: the vmapped backward kernel carries slightly more
+    # VMEM and 1536 overflows the 16 MB scoped budget there.
+    pallas_tile: "int | None" = None
     # Write residual/uv/per-pixel-loss diagnostic mp4s at evaluation (the
     # reference evaluator's visualization set; off by default — host-bound).
     save_diagnostics: bool = False

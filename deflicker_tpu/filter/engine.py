@@ -76,6 +76,34 @@ def refine_sequence(variables: Dict, preds: jax.Array,
     return jnp.concatenate([p0[None], rest], axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("dtype", "mesh"))
+def refine_sequence_multi(variables: Dict, preds: jax.Array,
+                          dtype=jnp.float32, mesh=None) -> jax.Array:
+    """Multi-video refinement: same recurrence, V videos advance in
+    lockstep — the scan stays sequential in t (inherent data dependence on
+    O_{t-1}) but each step batches V frames through TransformNet instead
+    of one, and the V axis shards over the mesh (videos independent).
+
+    preds: (V, T, H, W, 3) -> (V, T, H, W, 3).
+    """
+    from ..parallel import shard_constraint
+
+    net = TransformNet(nf=32, blocks=5, nc_out=3, dtype=dtype)
+
+    def step(carry, p_t):                      # p_t: (V, H, W, 3)
+        o_prev, p_prev = carry
+        inp = jnp.concatenate([p_t, o_prev, p_t, p_prev], axis=-1)
+        inp = shard_constraint(inp, mesh)
+        resid = net.apply(variables, inp.astype(dtype)).astype(jnp.float32)
+        o_t = p_t + resid
+        return (o_t, p_t), o_t
+
+    p0 = preds[:, 0]
+    seq = jnp.swapaxes(preds[:, 1:], 0, 1)     # (T-1, V, H, W, 3)
+    (_, _), rest = jax.lax.scan(step, (p0, p0), seq)
+    return jnp.concatenate([p0[:, None], jnp.swapaxes(rest, 0, 1)], axis=1)
+
+
 class FilterEngine:
     def __init__(self, filter_variables: Dict, local_variables: Dict,
                  dtype=jnp.float32, batch: int = 8, mesh=None):
@@ -88,24 +116,18 @@ class FilterEngine:
             # keep the sharded frame batch even across devices
             self.batch = ((batch + mesh.size - 1) // mesh.size) * mesh.size
 
-    def run(self, content_dir: str | Path, style_dir: str | Path,
-            results_dir: str | Path, fps: int = 10,
-            save_concat: bool = True) -> np.ndarray:
-        """Full stage 2 over a video's frames; returns refined (T, H, W, 3)."""
+    @staticmethod
+    def _load_video(content_dir, style_dir):
+        """Load content + style frames; style resized to the content's size
+        like the reference (load_image(size=org_size),
+        models/utils.py:600-624).  Returns (content, style) as (T, H, W, 3)."""
+        import cv2
+
         content_names = list_frames(content_dir)
         style_names = list_frames(style_dir)
         assert len(content_names) == len(style_names), (
             f"{len(content_names)} content vs {len(style_names)} style frames")
         T = len(content_names)
-        results_dir = Path(results_dir)
-        concat_dir = results_dir / "neural_filter" / "concat"
-        filter_dir = results_dir / "neural_filter" / "output"
-        final_dir = results_dir / "final" / "output"
-
-        # load all frames; style resized to the content's size like the
-        # reference (load_image(size=org_size), models/utils.py:600-624)
-        import cv2
-
         first = read_image(content_names[0])
         H, W = first.shape[:2]
         content = np.zeros((T, H, W, 3), np.float32)
@@ -116,36 +138,19 @@ class FilterEngine:
             if s.shape[:2] != (H, W):
                 s = cv2.resize(s, (W, H), interpolation=cv2.INTER_LINEAR)
             style[t] = s
+        return content, style
 
-        padder = Padder(H, W, divisor=32, mode="other")
-        # pad T to a batch multiple (repeat the last frame) so every chunk —
-        # including the tail — has the same shape: exactly ONE XLA compile
-        # (each stray shape costs a full recompile; minutes through this
-        # environment's remote compile server)
-        T_pad = ((T + self.batch - 1) // self.batch) * self.batch
-        if T_pad != T:
-            tail = np.repeat(content[-1:], T_pad - T, axis=0)
-            content_all = np.concatenate([content, tail], axis=0)
-            style_all = np.concatenate(
-                [style, np.repeat(style[-1:], T_pad - T, axis=0)], axis=0)
-        else:
-            content_all, style_all = content, style
-        preds = np.zeros((T_pad,) + padder.padded_hw + (3,), np.float32)
-        content_p = padder.pad(jnp.asarray(content_all))
-        style_p = padder.pad(jnp.asarray(style_all))
-        for s0 in range(0, T_pad, self.batch):
-            s1 = s0 + self.batch
-            preds[s0:s1] = np.asarray(filter_frames(
-                self.filter_variables, content_p[s0:s1], style_p[s0:s1],
-                dtype=self.dtype, mesh=self.mesh))
-        preds = preds[:T]
+    def _save_outputs(self, content, style, preds, refined, results_dir,
+                      fps, save_concat):
+        """PNG + mp4 artifact set, resizing padded outputs back to the
+        original size (the reference's unpad-by-resize quirk)."""
+        import cv2
 
-        refined = np.asarray(refine_sequence(self.local_variables,
-                                             jnp.asarray(preds),
-                                             dtype=self.dtype))
-
-        # save, resizing padded outputs back to the original size
-        # (the reference's unpad-by-resize quirk)
+        results_dir = Path(results_dir)
+        concat_dir = results_dir / "neural_filter" / "concat"
+        filter_dir = results_dir / "neural_filter" / "output"
+        final_dir = results_dir / "final" / "output"
+        T, H, W = content.shape[:3]
         for t in range(T):
             p = cv2.resize(preds[t], (W, H), interpolation=cv2.INTER_LINEAR)
             o = cv2.resize(refined[t], (W, H), interpolation=cv2.INTER_LINEAR)
@@ -154,10 +159,88 @@ class FilterEngine:
             if save_concat:
                 write_image(np.concatenate([content[t], style[t], p], axis=1),
                             concat_dir / f"{t:05d}.png")
-
-        for d in ([concat_dir] if save_concat else []) + [filter_dir, final_dir]:
+        for d in (([concat_dir] if save_concat else [])
+                  + [filter_dir, final_dir]):
             frames_to_video(d, d.parent / (d.name + ".mp4"), fps=fps)
+
+    def _filter_all(self, content: np.ndarray, style: np.ndarray,
+                    padder: Padder) -> np.ndarray:
+        """Batched UNet filtering of all frames; returns (T, Hp, Wp, 3).
+
+        T is padded to a batch multiple (repeat the last frame) so every
+        chunk — including the tail — has the same shape: exactly ONE XLA
+        compile (each stray shape costs a full recompile; minutes through
+        this environment's remote compile server)."""
+        T = content.shape[0]
+        T_pad = ((T + self.batch - 1) // self.batch) * self.batch
+        if T_pad != T:
+            content = np.concatenate(
+                [content, np.repeat(content[-1:], T_pad - T, axis=0)], axis=0)
+            style = np.concatenate(
+                [style, np.repeat(style[-1:], T_pad - T, axis=0)], axis=0)
+        preds = np.zeros((T_pad,) + padder.padded_hw + (3,), np.float32)
+        content_p = padder.pad(jnp.asarray(content))
+        style_p = padder.pad(jnp.asarray(style))
+        for s0 in range(0, T_pad, self.batch):
+            s1 = s0 + self.batch
+            preds[s0:s1] = np.asarray(filter_frames(
+                self.filter_variables, content_p[s0:s1], style_p[s0:s1],
+                dtype=self.dtype, mesh=self.mesh))
+        return preds[:T]
+
+    def run(self, content_dir: str | Path, style_dir: str | Path,
+            results_dir: str | Path, fps: int = 10,
+            save_concat: bool = True) -> np.ndarray:
+        """Full stage 2 over a video's frames; returns refined (T, H, W, 3)."""
+        content, style = self._load_video(content_dir, style_dir)
+        T, H, W = content.shape[:3]
+        padder = Padder(H, W, divisor=32, mode="other")
+        preds = self._filter_all(content, style, padder)
+        refined = np.asarray(refine_sequence(self.local_variables,
+                                             jnp.asarray(preds),
+                                             dtype=self.dtype))
+        self._save_outputs(content, style, preds, refined, results_dir,
+                           fps, save_concat)
         return refined
+
+    def run_multi(self, jobs, fps: int = 10, save_concat: bool = True):
+        """Stage 2 over several same-resolution videos: UNet filtering is
+        already frame-batched; the sequential refinement recurrence advances
+        ALL videos in lockstep (refine_sequence_multi), turning the
+        batch-1 ConvLSTM scan into a batch-V one.
+
+        jobs: list of (content_dir, style_dir, results_dir).  Videos of
+        differing length are padded to the longest (repeat last filtered
+        frame; the recurrence only flows forward, so padding never leaks
+        into a video's real frames).
+        """
+        vids = [self._load_video(c, s) for c, s, _ in jobs]
+        shapes = {v[0].shape[1:3] for v in vids}
+        if len(shapes) != 1:
+            raise ValueError(f"run_multi needs same-resolution videos, "
+                             f"got {shapes} (group by shape first)")
+        H, W = shapes.pop()
+        padder = Padder(H, W, divisor=32, mode="other")
+        preds = [self._filter_all(c, s, padder) for c, s in vids]
+
+        T_max = max(p.shape[0] for p in preds)
+        preds_v = np.stack([
+            np.concatenate([p, np.repeat(p[-1:], T_max - p.shape[0], axis=0)])
+            if p.shape[0] != T_max else p for p in preds])
+        mesh = (self.mesh if self.mesh is not None
+                and len(jobs) % self.mesh.size == 0 else None)
+        refined_v = np.asarray(refine_sequence_multi(
+            self.local_variables, jnp.asarray(preds_v), dtype=self.dtype,
+            mesh=mesh))
+
+        out = []
+        for v, ((content, style), (_, _, results_dir)) in enumerate(
+                zip(vids, jobs)):
+            T = content.shape[0]
+            self._save_outputs(content, style, preds[v], refined_v[v, :T],
+                               results_dir, fps, save_concat)
+            out.append(refined_v[v, :T])
+        return out
 
 
 def load_filter_engine(ckpt_filter: Optional[str | Path],

@@ -1,5 +1,5 @@
-from .mesh import (batch_sharding, data_axis_sharding, make_mesh, replicated,
-                   shard_constraint)
+from .mesh import (DATA_AXIS, batch_sharding, data_axis_sharding, make_mesh,
+                   replicated, shard_constraint)
 
-__all__ = ["make_mesh", "batch_sharding", "data_axis_sharding", "replicated",
-           "shard_constraint"]
+__all__ = ["DATA_AXIS", "make_mesh", "batch_sharding", "data_axis_sharding",
+           "replicated", "shard_constraint"]

@@ -11,7 +11,10 @@ axis the workload has through ONE 1-D `jax.sharding.Mesh`:
   * RAFT flow:   frame-pair batches shard over `data`;
   * stage-2 UNet: per-frame independent -> frame batch shards over `data`
                  (the sequential refinement scan stays per-video; multiple
-                 videos shard over `data` instead).
+                 videos shard over `data` instead);
+  * multi-video fit: same-shaped videos' atlas fits are vmapped over a
+                 leading video axis that shards over `data` with ZERO
+                 collectives (atlas/multifit.py — videos are independent).
 
 The MLPs here are 256-wide — far too small for tensor parallelism to pay;
 batch/frame data parallelism saturates a v5e-8's MXUs, so a single mesh axis

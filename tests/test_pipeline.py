@@ -71,6 +71,54 @@ def test_full_pipeline_artifacts(tiny_video_dir):
     assert "params" in ckpt and "opt_state" in ckpt
 
 
+def test_batch_parallel_fit(tmp_path):
+    """--parallel_fit batch mode: two same-shape videos fit in ONE vmapped
+    program, a third different-shape video in its own group; all three get
+    the full artifact set."""
+    import dataclasses
+
+    import cv2
+
+    from deflicker_tpu.cli import batch as batch_cli
+    from deflicker_tpu.config import AtlasConfig
+
+    root = tmp_path / "data" / "test"
+    shapes = {"clip_a": (48, 64), "clip_b": (48, 64), "clip_c": (32, 48)}
+    rng = np.random.default_rng(1)
+    for name, (h, w) in shapes.items():
+        frames = root / name
+        frames.mkdir(parents=True)
+        base = rng.uniform(40, 215, (h, w, 3)).astype(np.float32)
+        for t in range(4):
+            frame = np.clip(np.roll(base, t, axis=1)
+                            * (1.0 + 0.1 * ((-1) ** t)), 0, 255)
+            cv2.imwrite(str(frames / f"{t:05d}.png"), frame.astype(np.uint8))
+
+    atlas_cfg = dataclasses.replace(
+        AtlasConfig(), iters_num=20, samples_batch=128, steps_per_call=10,
+        evaluate_every=19, pretrain_iter_number=2,
+        number_of_channels_atlas=32, number_of_layers_atlas=4,
+        number_of_channels_mapping1=32, number_of_layers_mapping1=3,
+        stop_global_rigidity=10)
+
+    from types import SimpleNamespace
+
+    args = SimpleNamespace(
+        fps=10, class_name=None, down=2, root=str(root),
+        results_root=str(tmp_path / "results"),
+        ckpt_raft=str(tmp_path / "missing.pth"),
+        ckpt_filter=None, ckpt_local=None)
+
+    summary = batch_cli.run_batch_parallel(
+        [str(root / n) for n in shapes], args, atlas_cfg)
+    assert summary["videos"] == 3 and summary["frames"] == 12
+    for name in shapes:
+        results = tmp_path / "results" / name
+        assert len(sorted((results / "stage_1" / "output").glob("*.png"))) == 4
+        assert len(sorted((results / "final" / "output").glob("*.png"))) == 4
+        assert (results / "stage_1" / "config.json").exists()
+
+
 def test_dual_pipeline_with_precomputed_masks(tiny_video_dir):
     """Seg path end-to-end with masks already on disk (the PrecomputedMasks
     contract): dual-atlas fit + texture export + stage 2."""

@@ -106,3 +106,47 @@ class TestFilterEngine:
         out = np.asarray(refine_sequence(lvars, preds))
         # O_0 = P_0 exactly (reference: frame_id == 0 branch)
         np.testing.assert_array_equal(out[0], np.asarray(preds[0]))
+
+    def test_refine_multi_matches_single(self):
+        """Lockstep multi-video refinement == per-video scan (the V batch
+        goes through the same convs; only the batch dim changes)."""
+        from deflicker_tpu.filter.engine import (refine_sequence,
+                                                 refine_sequence_multi)
+        from deflicker_tpu.models.refine import transformnet_init
+
+        lvars = transformnet_init(jax.random.key(0))
+        preds_v = jnp.asarray(np.random.default_rng(1).uniform(
+            0, 1, (3, 4, 32, 32, 3)).astype(np.float32))
+        multi = np.asarray(refine_sequence_multi(lvars, preds_v))
+        for v in range(3):
+            single = np.asarray(refine_sequence(lvars, preds_v[v]))
+            np.testing.assert_allclose(multi[v], single, atol=1e-5)
+
+    def test_run_multi_matches_run(self, tmp_path):
+        """FilterEngine.run_multi over 2 videos of different length ==
+        engine.run on each, artifacts included."""
+        import cv2
+
+        from deflicker_tpu.filter.engine import load_filter_engine
+
+        rng = np.random.default_rng(2)
+        jobs = []
+        for name, T in (("vid_a", 3), ("vid_b", 4)):
+            cdir, sdir = tmp_path / name, tmp_path / (name + "_style")
+            cdir.mkdir(), sdir.mkdir()
+            for t in range(T):
+                cv2.imwrite(str(cdir / f"{t:05d}.png"),
+                            rng.uniform(0, 255, (40, 52, 3)).astype(np.uint8))
+                cv2.imwrite(str(sdir / f"{t:05d}.png"),
+                            rng.uniform(0, 255, (40, 52, 3)).astype(np.uint8))
+            jobs.append((cdir, sdir, tmp_path / "multi" / name))
+
+        engine = load_filter_engine(None, None)
+        outs = engine.run_multi(jobs, fps=10)
+        assert [o.shape[0] for o in outs] == [3, 4]
+        for idx, ((cdir, sdir, rdir), T) in enumerate(zip(jobs, (3, 4))):
+            single = engine.run(cdir, sdir, tmp_path / "single" / cdir.name,
+                                fps=10)
+            np.testing.assert_allclose(outs[idx], single, atol=1e-5)
+            assert len(sorted((rdir / "final" / "output").glob("*.png"))) == T
+            assert (rdir / "final" / "output.mp4").exists()
