@@ -91,8 +91,16 @@ def load_video_data(frames_dir: str | Path, resy: int, resx: int,
                     use_masks: bool = False,
                     mask_dir_suffix: str = "_seg",
                     filter_optical_flow: bool = True,
-                    flow_dir: Optional[str | Path] = None) -> VideoData:
-    """Load frames + flow cache into a VideoData pytree of device arrays."""
+                    flow_dir: Optional[str | Path] = None,
+                    start_frame: int = 0) -> VideoData:
+    """Load frames + flow cache into a VideoData pytree of device arrays.
+
+    `start_frame` selects a chunk of a longer video (the auto-chunked
+    long-video path, cli/pipeline.py): frames `[start_frame, start_frame +
+    maximum_number_of_frames)` load with the chunk edges treated exactly
+    like video edges (zero flow/mask on the first/last frame's missing
+    side) — the same semantics the reference prescribes for manually split
+    long videos (README.md:117)."""
     import cv2
 
     frames_dir = Path(frames_dir)
@@ -101,14 +109,14 @@ def load_video_data(frames_dir: str | Path, resy: int, resx: int,
     flow_dir = Path(flow_dir) if flow_dir else vid_root / f"{vid_name}_flow"
     mask_dir = vid_root / f"{vid_name}{mask_dir_suffix}"
 
-    files = list_frames(frames_dir)
+    files = list_frames(frames_dir)[start_frame:]
     T = min(maximum_number_of_frames, len(files))
     if T == 0:
         raise FileNotFoundError(f"no frames in {frames_dir}")
 
     video = np.zeros((T, resy, resx, 3), np.float32)
     mask = np.zeros((T, resy, resx), np.float32)
-    mask_files = list_frames(mask_dir) if use_masks else []
+    mask_files = list_frames(mask_dir)[start_frame:] if use_masks else []
 
     for t in range(T):
         im = read_image(files[t])

@@ -322,11 +322,20 @@ def evaluate_and_save(params: Params, specs: AtlasSpecs, data: VideoData,
                       cfg: AtlasConfig, results_folder: str | Path,
                       iteration: int, opt_state=None,
                       save_video: bool = True,
-                      save_ckpt: bool = True) -> Tuple[np.ndarray, float]:
+                      save_ckpt: bool = True,
+                      frame_offset: int = 0,
+                      first_saved_frame: int = 0,
+                      psnr_marker: bool = True) -> Tuple[np.ndarray, float]:
     """Render, write output PNGs + PSNR marker (+ mp4, + checkpoint).
 
     Returns (rendered (T,H,W,3), mean PSNR).  Artifact layout matches the
     reference stage-1 results folder (SURVEY.md §1 filesystem contract).
+
+    `frame_offset` / `first_saved_frame` serve the auto-chunked long-video
+    path: frame f of `data` saves as `%05d % (f + frame_offset)`, frames
+    below `first_saved_frame` are rendered but not written (the last
+    chunk's overlap region, already owned by the previous chunk), and the
+    returned PSNR averages saved frames only.
     """
     from ..io.media import frames_to_video, write_image
 
@@ -338,14 +347,16 @@ def evaluate_and_save(params: Params, specs: AtlasSpecs, data: VideoData,
     video_np = np.asarray(data.video)
 
     rendered = render_frames(params, specs, T, H, W)
-    psnrs = np.zeros(T)
-    for f in range(T):
-        write_image(rendered[f], out_dir / f"{f:05d}.png")
-        psnrs[f] = psnr(video_np[f], rendered[f], data_range=1.0)
+    psnrs = np.zeros(T - first_saved_frame)
+    for f in range(first_saved_frame, T):
+        write_image(rendered[f], out_dir / f"{f + frame_offset:05d}.png")
+        psnrs[f - first_saved_frame] = psnr(video_np[f], rendered[f],
+                                            data_range=1.0)
 
     mean_psnr = float(psnrs.mean())
     # PSNR marker file, like the reference's `PSNR_<val>` (evaluate.py:782-783)
-    (results_folder / f"PSNR_{mean_psnr:.2f}").touch()
+    if psnr_marker:
+        (results_folder / f"PSNR_{mean_psnr:.2f}").touch()
 
     if save_video:
         frames_to_video(out_dir, results_folder / "reconstruction.mp4", fps=10)

@@ -60,11 +60,110 @@ def make_flow_provider(cfg: PipelineConfig, mesh=None):
     return FarnebackFlow()
 
 
+def _chunk_starts(T_all: int, cap: int):
+    """Equal-size chunk starts covering [0, T_all); the last chunk is
+    anchored backward (overlapping its predecessor) so every chunk has the
+    SAME length — one XLA shape, one vmapped fit for the whole group."""
+    n = -(-T_all // cap)
+    size = -(-T_all // n)
+    starts = [min(k * size, T_all - size) for k in range(n)]
+    return size, starts
+
+
+def _run_stage1_chunked(frames_dir: Path, atlas_cfg: AtlasConfig,
+                        dual: bool, resy: int, resx: int,
+                        results_folder: Path, mesh=None) -> Dict:
+    """Long-video stage 1: T > maximum_number_of_frames.
+
+    The reference silently truncates at the cap and its README tells users
+    to split long videos by hand (README.md:117) — which also resets
+    stage-2 temporal consistency at every split.  Here the video is split
+    into equal same-shaped chunks, ALL chunks fit SIMULTANEOUSLY as one
+    vmapped multi-video group (atlas/multifit.py — on a mesh each chunk
+    can own a device), every frame is rendered with continuous numbering,
+    and stage 2 later runs its refinement recurrence unbroken across the
+    whole sequence.  Chunk edges use video-edge flow semantics (zero
+    flow/consistency at the boundary frame), exactly what a manual split
+    would produce.
+
+    Checkpoint/resume stays a single-fit feature; the chunked fit writes a
+    combined final checkpoint for inspection only.
+    """
+    import time as _time
+
+    from ..atlas.multifit import (fit_atlas_multi, init_models_multi,
+                                  pretrain_mapping_multi, stack_video_data)
+    from ..utils.checkpoint import save_checkpoint
+
+    files = list_frames(frames_dir)
+    T_all = len(files)
+    cap = atlas_cfg.maximum_number_of_frames
+    size, starts = _chunk_starts(T_all, cap)
+    n = len(starts)
+    print(f"[deflicker_tpu] {frames_dir.name}: {T_all} frames > cap {cap} "
+          f"-> {n} chunks of {size}, fit as one parallel group")
+
+    datas = [load_video_data(frames_dir, resy, resx, size, use_masks=dual,
+                             start_frame=s) for s in starts]
+    data_v = stack_video_data(datas)
+    specs = build_specs(atlas_cfg, dual=dual)
+    key = jax.random.key(atlas_cfg.seed)
+    k_init, k_pre1, k_pre2, k_fit = jax.random.split(key, 4)
+
+    t1 = _time.time()
+    params_v = init_models_multi(k_init, specs, n)
+    if atlas_cfg.pretrain_mapping1:
+        params_v["mapping1"] = pretrain_mapping_multi(
+            params_v["mapping1"], specs.mapping1, k_pre1, n, size, resy,
+            resx, atlas_cfg.uv_mapping_scale, atlas_cfg.pretrain_iter_number)
+    if dual and atlas_cfg.pretrain_mapping2:
+        params_v["mapping2"] = pretrain_mapping_multi(
+            params_v["mapping2"], specs.mapping2, k_pre2, n, size, resy,
+            resx, atlas_cfg.uv_mapping_scale, atlas_cfg.pretrain_iter_number)
+    t_pretrain = _time.time() - t1
+
+    logger = ScalarLogger(results_folder)
+    t2 = _time.time()
+    results = fit_atlas_multi(
+        params_v, specs, data_v, atlas_cfg, k_fit, mesh=mesh,
+        log_callback=lambda i, v, rec: logger.log(
+            i, {f"chunk{v}/{k}": val for k, val in rec.items()}))
+    t_fit = _time.time() - t2
+
+    t3 = _time.time()
+    psnrs = []
+    for k in range(n):
+        prev_end = (starts[k - 1] + size) if k else 0
+        _, p = evaluate_and_save(
+            results[k].params, specs, datas[k], atlas_cfg, results_folder,
+            results[k].iteration - 1, results[k].opt_state,
+            frame_offset=starts[k],
+            first_saved_frame=max(0, prev_end - starts[k]),
+            save_video=(k == n - 1), save_ckpt=False, psnr_marker=False)
+        psnrs.append(p)
+    mean_psnr = float(np.mean(psnrs))
+    (results_folder / f"PSNR_{mean_psnr:.2f}").touch()
+    save_checkpoint(results_folder / "checkpoint", {
+        "params": [r.params for r in results],
+        "chunk_starts": starts, "chunk_size": size,
+        "iteration": results[0].iteration, "dual": dual})
+    t_render = _time.time() - t3
+    logger.close()
+
+    iters = results[0].iteration
+    return {"psnr": mean_psnr, "num_frames": T_all, "res": (resy, resx),
+            "t_pretrain": t_pretrain, "t_fit": t_fit, "t_render": t_render,
+            "iters_per_sec": n * iters / t_fit if t_fit > 0 else 0.0,
+            "chunks": n}
+
+
 def run_stage1(frames_dir: Path, cfg: PipelineConfig,
                atlas_cfg: AtlasConfig, dual: bool,
                mesh=None, results_root: Optional[Path] = None) -> Dict:
     """Flow preprocessing + atlas fit + render; mirrors
-    src/stage1_neural_atlas[_seg].py main()."""
+    src/stage1_neural_atlas[_seg].py main().  Videos longer than
+    `maximum_number_of_frames` route to the auto-chunked parallel fit
+    (_run_stage1_chunked) instead of the reference's silent truncation."""
     t0 = time.time()
     preprocess_optical_flow(frames_dir, make_flow_provider(cfg, mesh=mesh),
                             max_long_edge=cfg.max_long_edge)
@@ -86,6 +185,13 @@ def run_stage1(frames_dir: Path, cfg: PipelineConfig,
     down = cfg.down if cfg.down is not None else (1 if dual else 4)
     if down:
         resx, resy = int(resx / down), int(resy / down)
+
+    T_all = len(list_frames(frames_dir))
+    if T_all > atlas_cfg.maximum_number_of_frames:
+        out = _run_stage1_chunked(frames_dir, atlas_cfg, dual, resy, resx,
+                                  results_folder, mesh=mesh)
+        out.update(results_folder=results_folder, t_flow=t_flow)
+        return out
 
     data = load_video_data(frames_dir, resy, resx,
                            atlas_cfg.maximum_number_of_frames,

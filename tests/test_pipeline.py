@@ -71,6 +71,56 @@ def test_full_pipeline_artifacts(tiny_video_dir):
     assert "params" in ckpt and "opt_state" in ckpt
 
 
+def test_chunk_starts():
+    from deflicker_tpu.cli.pipeline import _chunk_starts
+
+    assert _chunk_starts(7, 3) == (3, [0, 3, 4])      # last span anchored
+    assert _chunk_starts(6, 3) == (3, [0, 3])         # exact split
+    assert _chunk_starts(200, 200) == (200, [0])      # at the cap
+    assert _chunk_starts(201, 200) == (101, [0, 100])
+
+
+def test_long_video_auto_chunking(tiny_video_dir):
+    """A video longer than maximum_number_of_frames: stage 1 splits into
+    same-shaped chunks fit as one parallel group; EVERY frame is rendered
+    (the reference truncates at the cap) and stage 2 refines the full
+    sequence in one unbroken recurrence."""
+    import dataclasses
+
+    import cv2
+
+    from deflicker_tpu.cli.pipeline import run_pipeline
+    from deflicker_tpu.config import AtlasConfig, PipelineConfig
+
+    tmp, frames = tiny_video_dir
+    # extend the 5-frame fixture to 7 frames
+    base = cv2.imread(str(frames / "00000.png"))
+    for t in (5, 6):
+        cv2.imwrite(str(frames / f"{t:05d}.png"), np.roll(base, t, axis=1))
+
+    cfg = PipelineConfig(
+        video_frame_folder=str(frames), root=str(frames.parent),
+        results_root=str(tmp / "results_long"), down=2,
+        ckpt_raft=str(tmp / "missing.pth"),
+        ckpt_filter=None, ckpt_local=None)
+    atlas_cfg = dataclasses.replace(
+        AtlasConfig(), iters_num=20, samples_batch=128, steps_per_call=10,
+        evaluate_every=19, pretrain_iter_number=2,
+        maximum_number_of_frames=3,          # forces 3 chunks of 3
+        number_of_channels_atlas=32, number_of_layers_atlas=4,
+        number_of_channels_mapping1=32, number_of_layers_mapping1=3,
+        stop_global_rigidity=10)
+
+    out = run_pipeline(cfg, atlas_cfg)
+    assert out["num_frames"] == 7 and out["chunks"] == 3
+    results = tmp / "results_long" / "vid"
+    # all 7 frames rendered with continuous numbering, none truncated
+    names = sorted(p.name for p in (results / "stage_1" / "output").glob("*.png"))
+    assert names == [f"{t:05d}.png" for t in range(7)]
+    assert len(sorted((results / "final" / "output").glob("*.png"))) == 7
+    assert (results / "stage_1" / "checkpoint").exists()
+
+
 def test_batch_parallel_fit(tmp_path):
     """--parallel_fit batch mode: two same-shape videos fit in ONE vmapped
     program, a third different-shape video in its own group; all three get
