@@ -105,7 +105,11 @@ def run_batch_parallel(videos, args, atlas_cfg, mesh=None) -> dict:
     # each group's videos in lockstep (FilterEngine.run_multi)
     from ..filter import load_filter_engine
 
-    engine = load_filter_engine(args.ckpt_filter, args.ckpt_local, mesh=mesh)
+    import jax.numpy as jnp
+
+    engine = load_filter_engine(
+        args.ckpt_filter, args.ckpt_local, mesh=mesh,
+        dtype=jnp.dtype(getattr(args, "stage2_precision", "bfloat16")))
     res_groups = {}
     for i, fd in enumerate(frames_dirs):
         hw = read_image(list_frames(fd)[0]).shape[:2]
@@ -153,6 +157,8 @@ def main(argv=None) -> int:
     p.add_argument("--parallel_fit", action="store_true",
                    help="fit same-shaped videos simultaneously (vmapped, "
                         "video-axis-sharded over the mesh)")
+    p.add_argument("--stage2_precision", choices=["float32", "bfloat16"],
+                   default="bfloat16")
     args = p.parse_args(argv)
 
     videos = list(args.videos or [])

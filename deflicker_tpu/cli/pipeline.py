@@ -289,13 +289,16 @@ def run_stage2(frames_dir: Path, cfg: PipelineConfig,
                style_dir: Optional[Path] = None, mesh=None) -> Dict:
     """Neural filter + local refinement; mirrors
     src/neural_filter_and_refinement.py."""
+    import jax.numpy as jnp
+
     from ..filter import load_filter_engine
 
     vid = frames_dir.name
     results_root = Path(results_root or cfg.results_root)
     style_dir = style_dir or results_root / vid / "stage_1" / "output"
     t0 = time.time()
-    engine = load_filter_engine(cfg.ckpt_filter, cfg.ckpt_local, mesh=mesh)
+    engine = load_filter_engine(cfg.ckpt_filter, cfg.ckpt_local, mesh=mesh,
+                                dtype=jnp.dtype(cfg.stage2_dtype))
     engine.run(frames_dir, style_dir, results_root / vid, fps=cfg.fps)
     return {"t_stage2": time.time() - t0,
             "final_dir": results_root / vid / "final" / "output"}

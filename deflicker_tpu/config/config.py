@@ -170,3 +170,8 @@ class PipelineConfig:
     # TPU extensions
     dtype: str = "float32"        # fit dtype; RAFT/stage-2 convs may use bfloat16
     raft_dtype: str = "bfloat16"  # analog of the reference's mixed_precision=True
+    # stage-2 conv compute dtype.  bf16 measured 3.6x on the UNet filter
+    # (144 vs 40 frames/s) and 5.3x on the refinement scan (98 vs 19) on
+    # v5e at 448x768 with <0.02% output deviation; set "float32" for
+    # reference numerics (BASELINE.md).
+    stage2_dtype: str = "bfloat16"

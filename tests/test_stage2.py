@@ -107,6 +107,26 @@ class TestFilterEngine:
         # O_0 = P_0 exactly (reference: frame_id == 0 branch)
         np.testing.assert_array_equal(out[0], np.asarray(preds[0]))
 
+    def test_bf16_close_to_f32(self):
+        """The bf16 stage-2 fast path (default on TPU) must track the f32
+        reference numerics — catches dtype-wiring bugs, not precision."""
+        from deflicker_tpu.filter.engine import filter_frames, refine_sequence
+        from deflicker_tpu.models.refine import transformnet_init
+        from deflicker_tpu.models.unet import unet_init
+
+        fv = unet_init(jax.random.key(0))
+        lv = transformnet_init(jax.random.key(1))
+        rng = np.random.default_rng(3)
+        c = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+        s = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+        f32 = np.asarray(filter_frames(fv, c, s, dtype=jnp.float32))
+        f16 = np.asarray(filter_frames(fv, c, s, dtype=jnp.bfloat16))
+        assert np.max(np.abs(f32 - f16)) < 0.05 * max(1.0, np.abs(f32).max())
+        p = jnp.asarray(rng.uniform(0, 1, (3, 32, 32, 3)).astype(np.float32))
+        r32 = np.asarray(refine_sequence(lv, p, dtype=jnp.float32))
+        r16 = np.asarray(refine_sequence(lv, p, dtype=jnp.bfloat16))
+        assert np.max(np.abs(r32 - r16)) < 0.05 * max(1.0, np.abs(r32).max())
+
     def test_refine_multi_matches_single(self):
         """Lockstep multi-video refinement == per-video scan (the V batch
         goes through the same convs; only the batch dim changes)."""
