@@ -19,3 +19,36 @@ pair-sharded flow, relying on XLA SPMD collectives over ICI.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Point XLA's persistent compilation cache at a per-user directory.
+
+    The fit/flow/filter programs are large scanned jits (minutes to
+    compile through a remote compile service); every pipeline process is
+    short-lived, so without a disk cache each stage repays its compiles.
+    Measured here: second-process jit cost drops from full compile to
+    ~20 ms.  Respects an existing user configuration
+    (JAX_COMPILATION_CACHE_DIR / jax.config) and is disabled by
+    DEFLICKER_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("DEFLICKER_NO_COMPILE_CACHE") == "1":
+        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        import jax
+
+        if getattr(jax.config, "jax_compilation_cache_dir", None):
+            return
+        cache = os.path.join(os.path.expanduser("~"), ".cache",
+                             "deflicker_tpu", "xla")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:          # cache is an optimization, never a failure
+        pass
+
+
+_enable_persistent_compile_cache()
