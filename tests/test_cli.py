@@ -108,6 +108,23 @@ class TestEvaluateCLI:
         assert out["psnr_mean"] == float("inf")
         assert "ewarp_mean" in out and out["ewarp_mean"] >= 0
 
+    def test_batched_warp_error_matches_scalar(self):
+        """warp_error_video (one device dispatch per video) must reproduce
+        the per-pair numpy-oracle warp_error."""
+        from deflicker_tpu.metrics.ewarp import warp_error, warp_error_video
+
+        rng = np.random.default_rng(1)
+        B, H, W = 3, 20, 28
+        f1 = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+        f2 = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+        fw = rng.normal(0, 2, (B, H, W, 2)).astype(np.float32)
+        bw = -fw + rng.normal(0, 0.2, (B, H, W, 2)).astype(np.float32)
+        batched = warp_error_video(f1, f2, fw, bw)
+        for b in range(B):
+            np.testing.assert_allclose(
+                batched[b], warp_error(f1[b], f2[b], fw[b], bw[b]),
+                rtol=1e-5, atol=1e-7)
+
 
 class TestConvertWeightsCLI:
     def test_raft_roundtrip(self, tmp_path):
