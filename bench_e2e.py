@@ -49,7 +49,8 @@ def _device_str():
 
 def bench_raft(H=360, W=640, pairs=4, iters=20, reps=3):
     """Flow fields/s with inputs resident on device: isolates chip compute
-    from the dev tunnel's ~5 MB/s host link (BASELINE.md caveats)."""
+    from the dev tunnel's ~5 MB/s host link (BASELINE.md caveats).
+    Runs in bfloat16 — the production RAFTFlow default (flow/engine.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +66,8 @@ def bench_raft(H=360, W=640, pairs=4, iters=20, reps=3):
     variables = raft_init(jax.random.key(0), image_hw=x1.shape[1:3])
 
     def run():
-        _, up = raft_flow(variables, x1, x2, iters=iters)
+        _, up = raft_flow(variables, x1, x2, iters=iters,
+                          dtype=jnp.bfloat16)
         return float(up[0, 0, 0, 0])   # readback barrier
 
     run()                              # compile + warmup
@@ -89,6 +91,8 @@ def bench_raft(H=360, W=640, pairs=4, iters=20, reps=3):
 # ---------------------------------------------------------------------------
 
 def bench_stage2(H=432, W=768, batch=8, T_refine=16, reps=3):
+    """Measures BOTH conv dtypes: bfloat16 (the pipeline default,
+    PipelineConfig.stage2_dtype) and float32 (reference numerics)."""
     import jax
     import jax.numpy as jnp
 
@@ -103,44 +107,43 @@ def bench_stage2(H=432, W=768, batch=8, T_refine=16, reps=3):
         rng.uniform(0, 1, (batch, H, W, 3)).astype(np.float32))))
     style = jax.device_put(padder.pad(jnp.asarray(
         rng.uniform(0, 1, (batch, H, W, 3)).astype(np.float32))))
+    preds = jax.device_put(padder.pad(jnp.asarray(
+        rng.uniform(0, 1, (T_refine, H, W, 3)).astype(np.float32))))
     fvars = unet_init(jax.random.key(0))
     lvars = transformnet_init(jax.random.key(1))
 
-    def run_filter():
-        p = filter_frames(fvars, content, style)
-        return float(p[0, 0, 0, 0])
+    rec = {"metric": "stage2_frames_per_sec_device",
+           "config": f"{H}x{W} (padded {padder.padded_hw}), UNet batch "
+                     f"{batch}, refine scan T={T_refine}, random weights",
+           "device": _device_str()}
+    for dt, name in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
+        def run_filter():
+            p = filter_frames(fvars, content, style, dtype=dt)
+            return float(p[0, 0, 0, 0])
 
-    run_filter()
-    t0 = time.perf_counter()
-    for _ in range(reps):
         run_filter()
-    dt_f = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            run_filter()
+        dt_f = (time.perf_counter() - t0) / reps
 
-    preds = jax.device_put(padder.pad(jnp.asarray(
-        rng.uniform(0, 1, (T_refine, H, W, 3)).astype(np.float32))))
+        def run_refine():
+            o = refine_sequence(lvars, preds, dtype=dt)
+            return float(o[-1, 0, 0, 0])
 
-    def run_refine():
-        o = refine_sequence(lvars, preds)
-        return float(o[-1, 0, 0, 0])
-
-    run_refine()
-    t0 = time.perf_counter()
-    for _ in range(reps):
         run_refine()
-    dt_r = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            run_refine()
+        dt_r = (time.perf_counter() - t0) / reps
 
-    filt_fps = batch / dt_f
-    ref_fps = T_refine / dt_r
-    combined = 1.0 / (1.0 / filt_fps + 1.0 / ref_fps)
-    _merge({"stage2": {
-        "metric": "stage2_frames_per_sec_device",
-        "filter_fps": round(filt_fps, 2),
-        "refine_fps": round(ref_fps, 2),
-        "combined_fps": round(combined, 2),
-        "config": f"{H}x{W} (padded {padder.padded_hw}), UNet batch {batch},"
-                  f" refine scan T={T_refine}, random weights",
-        "device": _device_str(),
-    }})
+        filt_fps = batch / dt_f
+        ref_fps = T_refine / dt_r
+        combined = 1.0 / (1.0 / filt_fps + 1.0 / ref_fps)
+        rec[name] = {"filter_fps": round(filt_fps, 2),
+                     "refine_fps": round(ref_fps, 2),
+                     "combined_fps": round(combined, 2)}
+    _merge({"stage2": rec})
 
 
 # ---------------------------------------------------------------------------

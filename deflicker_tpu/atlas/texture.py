@@ -39,7 +39,7 @@ from .render import render_frame
 @functools.partial(jax.jit, static_argnames=(
     "specs", "use_mapping2", "invert_alpha", "larger_dim", "num_frames",
     "chunk", "n_chunks"))
-def _area_chunk_reduce(params: Params, mask: jax.Array, k0: jax.Array,
+def _area_chunk_reduce(params: Params, mask: jax.Array,
                        alpha_thresh: jax.Array, *, specs: AtlasSpecs,
                        use_mapping2: bool, invert_alpha: bool,
                        larger_dim: int, num_frames: int, chunk: int,
@@ -54,7 +54,7 @@ def _area_chunk_reduce(params: Params, mask: jax.Array, k0: jax.Array,
     mspec = specs.mapping2 if use_mapping2 else specs.mapping1
 
     def one(k):
-        idx = k0 + k * chunk + jnp.arange(chunk)
+        idx = k * chunk + jnp.arange(chunk)
         valid = idx < total
         ix = jnp.minimum(idx, total - 1)
         f = ix // (H * W)
@@ -96,7 +96,7 @@ def get_mapping_area(params: Params, specs: AtlasSpecs, mask: jax.Array,
         _area_chunk_reduce, specs=specs, use_mapping2=use_mapping2,
         invert_alpha=invert_alpha, larger_dim=larger_dim,
         num_frames=num_frames, chunk=chunk, n_chunks=n_chunks)
-    lo, hi, n = fn(params, mask, jnp.int32(0), jnp.float32(alpha_thresh))
+    lo, hi, n = fn(params, mask, jnp.float32(alpha_thresh))
     if int(n) == 0:
         return 1.0, -1.0, 1.0, -1.0, 2.0
     lo = np.asarray(lo) * 0.5 + uv_shift

@@ -37,7 +37,8 @@ def run_batch_parallel(videos, args, atlas_cfg, mesh=None) -> dict:
     from ..config import PipelineConfig
     from ..io.media import list_frames, read_image
     from ..seg import get_mask_provider, preprocess_masks
-    from .pipeline import make_flow_provider, prepare_frames
+    from .pipeline import (_stage1_resolution, make_flow_provider,
+                           prepare_frames, run_pipeline)
     from ..flow import preprocess_optical_flow
 
     dual = args.class_name is not None
@@ -48,33 +49,37 @@ def run_batch_parallel(videos, args, atlas_cfg, mesh=None) -> dict:
             video_name=v, fps=args.fps, class_name=args.class_name,
             down=args.down, root=args.root, results_root=args.results_root,
             ckpt_raft=args.ckpt_raft, ckpt_filter=args.ckpt_filter,
-            ckpt_local=args.ckpt_local)
+            ckpt_local=args.ckpt_local,
+            stage2_dtype=getattr(args, "stage2_precision", "bfloat16"))
 
     t0 = time.time()
     # host/RAFT preprocessing stays per video (batched internally)
-    frames_dirs, datas = [], []
+    frames_dirs, datas, long_videos = [], [], []
     flow_provider = None
     for v in videos:
         cfg = pipe_cfg(v)
         fd = prepare_frames(cfg)
+        if len(list_frames(fd)) > atlas_cfg.maximum_number_of_frames:
+            # past the atlas cap: the full pipeline's auto-chunked path
+            # handles it (its chunks are themselves a parallel multifit
+            # group); grouping it with short clips here would silently
+            # truncate stage 1 and break stage 2's frame-count contract
+            long_videos.append(v)
+            continue
         if flow_provider is None:
             flow_provider = make_flow_provider(cfg, mesh=mesh)
         preprocess_optical_flow(fd, flow_provider,
                                 max_long_edge=cfg.max_long_edge)
         if dual:
             preprocess_masks(fd, get_mask_provider(args.class_name))
-        first = read_image(list_frames(fd)[0])
-        resy, resx = first.shape[:2]
-        down = args.down if args.down is not None else (1 if dual else 4)
-        if down:
-            resx, resy = int(resx / down), int(resy / down)
+        resy, resx = _stage1_resolution(fd, args.down, dual)
         frames_dirs.append(fd)
         datas.append(load_video_data(fd, resy, resx,
                                      atlas_cfg.maximum_number_of_frames,
                                      use_masks=dual))
 
     specs = build_specs(atlas_cfg, dual=dual)
-    psnrs = [0.0] * len(videos)
+    psnrs = [0.0] * len(datas)
     for g, (shape, idxs) in enumerate(group_by_shape(datas).items()):
         V = len(idxs)
         T, H, W = shape
@@ -122,11 +127,21 @@ def run_batch_parallel(videos, args, atlas_cfg, mesh=None) -> dict:
             fps=args.fps)
 
     total_frames = 0
-    for i, v in enumerate(videos):
+    for i in range(len(frames_dirs)):
         total_frames += datas[i].num_frames
         print(json.dumps({"video": frames_dirs[i].name,
                           "frames": datas[i].num_frames,
                           "psnr": round(psnrs[i], 2)}))
+
+    # videos past the atlas cap: full pipeline (auto-chunked stage 1)
+    for v in long_videos:
+        out = run_pipeline(pipe_cfg(v), atlas_cfg, mesh=mesh)
+        total_frames += out["num_frames"]
+        print(json.dumps({"video": Path(v).stem,
+                          "frames": out["num_frames"],
+                          "psnr": round(out["psnr"], 2),
+                          "chunks": out.get("chunks")}))
+
     dt = time.time() - t0
     summary = {"videos": len(videos), "frames": total_frames,
                "t_total": round(dt, 1), "parallel_fit": True,
@@ -181,8 +196,16 @@ def main(argv=None) -> int:
             atlas_cfg, iters_num=args.iters,
             evaluate_every=max(1, args.iters - 1))
 
+    import jax
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+
     if args.parallel_fit:
-        run_batch_parallel(videos, args, atlas_cfg)
+        run_batch_parallel(videos, args, atlas_cfg, mesh=mesh)
         return 0
 
     t0 = time.time()
@@ -192,8 +215,9 @@ def main(argv=None) -> int:
             video_name=v, fps=args.fps, class_name=args.class_name,
             down=args.down, root=args.root, results_root=args.results_root,
             ckpt_raft=args.ckpt_raft, ckpt_filter=args.ckpt_filter,
-            ckpt_local=args.ckpt_local)
-        out = run_pipeline(cfg, atlas_cfg)
+            ckpt_local=args.ckpt_local,
+            stage2_dtype=args.stage2_precision)
+        out = run_pipeline(cfg, atlas_cfg, mesh=mesh)
         total_frames += out["num_frames"]
         print(json.dumps({"video": Path(v).stem,
                           "frames": out["num_frames"],

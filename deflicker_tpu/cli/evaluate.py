@@ -34,8 +34,28 @@ def compute_video_metrics(frames_dir: Path, processed_dir: Path,
 
     from ..metrics.ewarp import warp_error_video
 
-    psnrs = []
-    procs = []
+    # warp error runs in fixed-size batched device calls: per-pair
+    # dispatches each pay a host<->device round trip (158 for an 80-frame
+    # video), while one whole-video stack is O(T*H*W) host+device memory
+    # (>10 GB for a 200-frame 1080p clip).  Chunking keeps memory O(CHUNK)
+    # and, with a repeated-pair pad on the tail, ONE compiled shape.
+    CHUNK = 16
+    psnrs, ewarps = [], []
+    f1s, f2s, fws, bws = [], [], [], []
+
+    def flush():
+        if not f1s:
+            return
+        n = len(f1s)
+        while len(f1s) < CHUNK:        # pad tail with the last pair
+            f1s.append(f1s[-1]); f2s.append(f2s[-1])
+            fws.append(fws[-1]); bws.append(bws[-1])
+        vals = warp_error_video(np.stack(f1s), np.stack(f2s),
+                                np.stack(fws), np.stack(bws))
+        ewarps.extend(vals[:n])
+        f1s.clear(); f2s.clear(); fws.clear(); bws.clear()
+
+    prev = None
     for t in range(T):
         orig = read_image(orig_files[t])
         proc = read_image(proc_files[t])
@@ -43,32 +63,23 @@ def compute_video_metrics(frames_dir: Path, processed_dir: Path,
             proc = cv2.resize(proc, (orig.shape[1], orig.shape[0]),
                               interpolation=cv2.INTER_LINEAR)
         psnrs.append(psnr(orig, proc))
-        procs.append(proc)
+        if prev is not None:
+            fn1, fn2 = orig_files[t - 1].name, orig_files[t].name
+            p12 = flow_dir / f"{fn1}_{fn2}.npy"
+            p21 = flow_dir / f"{fn2}_{fn1}.npy"
+            if p12.exists() and p21.exists():
+                f12, f21 = np.load(p12), np.load(p21)
+                if f12.shape[:2] != prev.shape[:2]:
+                    from ..ops.consistency import resize_flow
 
-    # warp error: gather every consecutive pair with cached flow, then ONE
-    # batched device call (per-pair dispatches each pay a host<->device
-    # round trip — 158 of them for an 80-frame video)
-    f1s, f2s, fws, bws = [], [], [], []
-    for t in range(1, T):
-        fn1, fn2 = orig_files[t - 1].name, orig_files[t].name
-        p12 = flow_dir / f"{fn1}_{fn2}.npy"
-        p21 = flow_dir / f"{fn2}_{fn1}.npy"
-        if not (p12.exists() and p21.exists()):
-            continue
-        f12, f21 = np.load(p12), np.load(p21)
-        prev = procs[t - 1]
-        if f12.shape[:2] != prev.shape[:2]:
-            from ..ops.consistency import resize_flow
-
-            f12 = resize_flow(f12, prev.shape[0], prev.shape[1])
-            f21 = resize_flow(f21, prev.shape[0], prev.shape[1])
-        f1s.append(prev)
-        f2s.append(procs[t])
-        fws.append(f12)
-        bws.append(f21)
-    ewarps = (warp_error_video(np.stack(f1s), np.stack(f2s),
-                               np.stack(fws), np.stack(bws))
-              if f1s else [])
+                    f12 = resize_flow(f12, prev.shape[0], prev.shape[1])
+                    f21 = resize_flow(f21, prev.shape[0], prev.shape[1])
+                f1s.append(prev); f2s.append(proc)
+                fws.append(f12); bws.append(f21)
+                if len(f1s) == CHUNK:
+                    flush()
+        prev = proc
+    flush()
     out = {"psnr_mean": float(np.mean(psnrs)), "num_frames": T}
     if len(ewarps):
         out["ewarp_mean"] = float(np.mean(ewarps))

@@ -60,6 +60,21 @@ def make_flow_provider(cfg: PipelineConfig, mesh=None):
     return FarnebackFlow()
 
 
+def _stage1_resolution(frames_dir: Path, down: Optional[int],
+                       dual: bool) -> tuple:
+    """Stage-1 working resolution = first frame / down; config resx/resy
+    are IGNORED exactly like the reference (stage1_neural_atlas.py:31-38).
+    down=None means the reference scripts' defaults: 1 (seg) / 4 (single)."""
+    from ..io.media import read_image
+
+    first = read_image(list_frames(frames_dir)[0])
+    resy, resx = first.shape[0], first.shape[1]
+    down = down if down is not None else (1 if dual else 4)
+    if down:
+        resx, resy = int(resx / down), int(resy / down)
+    return resy, resx
+
+
 def _chunk_starts(T_all: int, cap: int):
     """Equal-size chunk starts covering [0, T_all); the last chunk is
     anchored backward (overlapping its predecessor) so every chunk has the
@@ -105,6 +120,12 @@ def _run_stage1_chunked(frames_dir: Path, atlas_cfg: AtlasConfig,
 
     datas = [load_video_data(frames_dir, resy, resx, size, use_masks=dual,
                              start_frame=s) for s in starts]
+    # masked-flow / input diagnostic videos, one set per chunk (the single
+    # -fit path writes them at the stage_1 root; see save_mask_flow_videos)
+    from ..atlas.render import save_mask_flow_videos
+
+    for k, d in enumerate(datas):
+        save_mask_flow_videos(d, results_folder / f"chunk_{k:02d}")
     data_v = stack_video_data(datas)
     specs = build_specs(atlas_cfg, dual=dual)
     key = jax.random.key(atlas_cfg.seed)
@@ -141,6 +162,14 @@ def _run_stage1_chunked(frames_dir: Path, atlas_cfg: AtlasConfig,
             first_saved_frame=max(0, prev_end - starts[k]),
             save_video=(k == n - 1), save_ckpt=False, psnr_marker=False)
         psnrs.append(p)
+        if dual:
+            # per-chunk editable-atlas artifact set (each chunk owns its
+            # own atlas; the single-fit path writes stage_1/texture)
+            from ..atlas.texture import export_atlas_artifacts
+
+            export_atlas_artifacts(results[k].params, specs, datas[k],
+                                   results_folder / "texture"
+                                   / f"chunk_{k:02d}")
     mean_psnr = float(np.mean(psnrs))
     (results_folder / f"PSNR_{mean_psnr:.2f}").touch()
     save_checkpoint(results_folder / "checkpoint", {
@@ -176,15 +205,7 @@ def run_stage1(frames_dir: Path, cfg: PipelineConfig,
     with open(results_folder / "config.json", "w") as f:
         json.dump(atlas_cfg.to_reference_json(), f, indent=4)
 
-    # working resolution = first frame / down (config resx/resy ignored,
-    # exactly like the reference — stage1_neural_atlas.py:31-38)
-    from ..io.media import read_image
-
-    first = read_image(list_frames(frames_dir)[0])
-    resy, resx = first.shape[0], first.shape[1]
-    down = cfg.down if cfg.down is not None else (1 if dual else 4)
-    if down:
-        resx, resy = int(resx / down), int(resy / down)
+    resy, resx = _stage1_resolution(frames_dir, cfg.down, dual)
 
     T_all = len(list_frames(frames_dir))
     if T_all > atlas_cfg.maximum_number_of_frames:

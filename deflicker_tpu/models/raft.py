@@ -427,15 +427,43 @@ def raft_flow(variables: Dict, image1: jax.Array, image2: jax.Array,
     gathers; 'auto' picks materialized while the pyramid fits (~2 GB),
     else pallas on TPU / online elsewhere.
 
-    With a mesh, the pair batch B shards over the data axis — frame pairs
-    are independent, so every conv / corr / GRU step splits along B with
-    params replicated and zero forward collectives (XLA SPMD).
+    With a mesh, the pair batch B shards over the data axis via
+    `shard_map` — frame pairs are independent, so each device runs the
+    whole single-device computation (INCLUDING the Pallas corr kernel,
+    which plain SPMD could not partition) on its local B/n_devices pairs,
+    with params replicated and zero collectives.
     """
-    from ..parallel import shard_constraint
+    if mesh is not None and mesh.size > 1:
+        try:
+            from jax import shard_map
+        except ImportError:                       # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
 
+        from ..parallel import DATA_AXIS
+
+        assert image1.shape[0] % mesh.size == 0, (
+            f"pair batch {image1.shape[0]} not divisible by mesh size "
+            f"{mesh.size} (flow engine pads the batch)")
+        fn = functools.partial(_raft_flow_local, iters=iters, dtype=dtype,
+                               corr_mode=corr_mode)
+        import inspect
+
+        relax = ("check_vma" if "check_vma"
+                 in inspect.signature(shard_map).parameters else "check_rep")
+        return shard_map(fn, mesh=mesh,
+                         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                         out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                         **{relax: False})(variables, image1, image2)
+    return _raft_flow_local(variables, image1, image2, iters=iters,
+                            dtype=dtype, corr_mode=corr_mode)
+
+
+def _raft_flow_local(variables: Dict, image1: jax.Array, image2: jax.Array,
+                     *, iters: int, dtype, corr_mode: str
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Single-device RAFT forward (the shard_map body; see raft_flow)."""
     model = RAFTModules(dtype=dtype)
-    image1 = shard_constraint(image1, mesh)
-    image2 = shard_constraint(image2, mesh)
     im1 = (2.0 * (image1 / 255.0) - 1.0).astype(dtype)
     im2 = (2.0 * (image2 / 255.0) - 1.0).astype(dtype)
 
@@ -455,7 +483,8 @@ def raft_flow(variables: Dict, image1: jax.Array, image2: jax.Array,
             # measured on v5e (BENCH_E2E.json 'corr'): the patch-DMA kernel
             # beats the materialized volume ~10x at 45x80 and ~15x at
             # 90x160, and is the only mode that scales to long-edge-2000
-            # inputs — unconditional default on TPU
+            # inputs — unconditional default on TPU (this body is always
+            # per-device: raft_flow shard_maps it under a mesh)
             corr_mode = "pallas"
         else:
             volume_bytes = B * n_pix * n_pix * 4 * 1.34   # pyr ~ 4/3 lvl 0
@@ -501,7 +530,7 @@ def raft_flow(variables: Dict, image1: jax.Array, image2: jax.Array,
     up_mask = apply(net, method=lambda m, x: m.update_block.mask_head(x))
     flow_up = convex_upsample_flow(flow_low, up_mask.astype(jnp.float32),
                                    factor=8)
-    return shard_constraint(flow_low, mesh), shard_constraint(flow_up, mesh)
+    return flow_low, flow_up
 
 
 def raft_init(key: jax.Array, dtype=jnp.float32,
