@@ -52,3 +52,13 @@ def _enable_persistent_compile_cache() -> None:
 
 
 _enable_persistent_compile_cache()
+
+
+def __getattr__(name):
+    # lazy: `from deflicker_tpu import Deflickerer` without importing the
+    # full pipeline stack at package import
+    if name == "Deflickerer":
+        from .api import Deflickerer
+
+        return Deflickerer
+    raise AttributeError(f"module 'deflicker_tpu' has no attribute {name!r}")

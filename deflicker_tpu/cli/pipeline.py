@@ -188,13 +188,19 @@ def _run_stage1_chunked(frames_dir: Path, atlas_cfg: AtlasConfig,
 
 def run_stage1(frames_dir: Path, cfg: PipelineConfig,
                atlas_cfg: AtlasConfig, dual: bool,
-               mesh=None, results_root: Optional[Path] = None) -> Dict:
+               mesh=None, results_root: Optional[Path] = None,
+               flow_provider=None) -> Dict:
     """Flow preprocessing + atlas fit + render; mirrors
     src/stage1_neural_atlas[_seg].py main().  Videos longer than
     `maximum_number_of_frames` route to the auto-chunked parallel fit
-    (_run_stage1_chunked) instead of the reference's silent truncation."""
+    (_run_stage1_chunked) instead of the reference's silent truncation.
+
+    `flow_provider` lets a warm caller (api.Deflickerer, cli.batch) reuse
+    loaded RAFT weights across videos."""
     t0 = time.time()
-    preprocess_optical_flow(frames_dir, make_flow_provider(cfg, mesh=mesh),
+    if flow_provider is None:
+        flow_provider = make_flow_provider(cfg, mesh=mesh)
+    preprocess_optical_flow(frames_dir, flow_provider,
                             max_long_edge=cfg.max_long_edge)
     t_flow = time.time() - t0
 
@@ -307,9 +313,11 @@ def run_stage1(frames_dir: Path, cfg: PipelineConfig,
 
 def run_stage2(frames_dir: Path, cfg: PipelineConfig,
                results_root: Optional[Path] = None,
-               style_dir: Optional[Path] = None, mesh=None) -> Dict:
+               style_dir: Optional[Path] = None, mesh=None,
+               engine=None) -> Dict:
     """Neural filter + local refinement; mirrors
-    src/neural_filter_and_refinement.py."""
+    src/neural_filter_and_refinement.py.  `engine` lets a warm caller
+    reuse loaded UNet/TransformNet weights across videos."""
     import jax.numpy as jnp
 
     from ..filter import load_filter_engine
@@ -318,8 +326,10 @@ def run_stage2(frames_dir: Path, cfg: PipelineConfig,
     results_root = Path(results_root or cfg.results_root)
     style_dir = style_dir or results_root / vid / "stage_1" / "output"
     t0 = time.time()
-    engine = load_filter_engine(cfg.ckpt_filter, cfg.ckpt_local, mesh=mesh,
-                                dtype=jnp.dtype(cfg.stage2_dtype))
+    if engine is None:
+        engine = load_filter_engine(cfg.ckpt_filter, cfg.ckpt_local,
+                                    mesh=mesh,
+                                    dtype=jnp.dtype(cfg.stage2_dtype))
     engine.run(frames_dir, style_dir, results_root / vid, fps=cfg.fps)
     return {"t_stage2": time.time() - t0,
             "final_dir": results_root / vid / "final" / "output"}
@@ -327,8 +337,12 @@ def run_stage2(frames_dir: Path, cfg: PipelineConfig,
 
 def run_pipeline(cfg: PipelineConfig,
                  atlas_cfg: Optional[AtlasConfig] = None,
-                 mesh=None) -> Dict:
-    """The full test.py-equivalent pipeline.  Returns a metrics dict."""
+                 mesh=None, flow_provider=None,
+                 filter_engine=None) -> Dict:
+    """The full test.py-equivalent pipeline.  Returns a metrics dict.
+
+    `flow_provider` / `filter_engine` let warm callers (api.Deflickerer)
+    reuse loaded network weights across many videos in one process."""
     if atlas_cfg is None:
         cfg_path = Path(cfg.config)
         atlas_cfg = (load_atlas_config(cfg_path) if cfg_path.exists()
@@ -343,8 +357,9 @@ def run_pipeline(cfg: PipelineConfig,
         provider = get_mask_provider(cfg.class_name, cfg.mask_provider)
         preprocess_masks(frames_dir, provider)
 
-    s1 = run_stage1(frames_dir, cfg, atlas_cfg, dual, mesh=mesh)
-    s2 = run_stage2(frames_dir, cfg, mesh=mesh)
+    s1 = run_stage1(frames_dir, cfg, atlas_cfg, dual, mesh=mesh,
+                    flow_provider=flow_provider)
+    s2 = run_stage2(frames_dir, cfg, mesh=mesh, engine=filter_engine)
 
     total = time.time() - t_start
     out = {**s1, **s2, "t_total": total,
