@@ -161,8 +161,14 @@ def make_loss_fn(specs: AtlasSpecs, cfg: AtlasConfig, data: VideoData,
     T, (H, W) = data.num_frames, data.res
     L = data.larger_dim
     dual = specs.dual
+    tile = getattr(cfg, "pallas_tile", None)
+    if tile is None and specs.dual:
+        # the dual path adds the 8-layer alpha MLP, whose backward at tile
+        # 1536 overflows the 16 MB scoped VMEM budget (measured on v5e);
+        # 1536 stays the single-atlas default
+        tile = 1024
     apply_mlp = select_imlp_apply(cfg.use_pallas_imlp, cfg.fit_precision,
-                                  getattr(cfg, "pallas_tile", None))
+                                  tile)
     d = cfg.derivative_amount
     gd_fg = cfg.global_rigidity_derivative_amount_fg
     gd_bg = cfg.global_rigidity_derivative_amount_bg
