@@ -169,6 +169,51 @@ def test_batch_parallel_fit(tmp_path):
         assert (results / "stage_1" / "config.json").exists()
 
 
+def test_batch_parallel_routes_long_videos(tmp_path):
+    """--parallel_fit with a video past the atlas cap: the short clip goes
+    through the parallel group, the long one through the auto-chunked full
+    pipeline — no truncation, no stage-2 frame-count mismatch."""
+    import dataclasses
+    from types import SimpleNamespace
+
+    import cv2
+
+    from deflicker_tpu.cli import batch as batch_cli
+    from deflicker_tpu.config import AtlasConfig
+
+    root = tmp_path / "data" / "test"
+    rng = np.random.default_rng(7)
+    for name, T in (("short", 3), ("long", 5)):
+        frames = root / name
+        frames.mkdir(parents=True)
+        base = rng.uniform(40, 215, (32, 48, 3)).astype(np.float32)
+        for t in range(T):
+            cv2.imwrite(str(frames / f"{t:05d}.png"),
+                        np.clip(np.roll(base, t, axis=1), 0, 255)
+                        .astype(np.uint8))
+
+    atlas_cfg = dataclasses.replace(
+        AtlasConfig(), iters_num=16, samples_batch=128, steps_per_call=8,
+        evaluate_every=15, pretrain_iter_number=2,
+        maximum_number_of_frames=3,           # "long" = 5 frames > cap
+        number_of_channels_atlas=32, number_of_layers_atlas=4,
+        number_of_channels_mapping1=32, number_of_layers_mapping1=3,
+        stop_global_rigidity=8)
+    args = SimpleNamespace(
+        fps=10, class_name=None, down=2, root=str(root),
+        results_root=str(tmp_path / "results"),
+        ckpt_raft=str(tmp_path / "missing.pth"),
+        ckpt_filter=None, ckpt_local=None)
+
+    summary = batch_cli.run_batch_parallel(
+        [str(root / "short"), str(root / "long")], args, atlas_cfg)
+    assert summary["videos"] == 2 and summary["frames"] == 8
+    for name, T in (("short", 3), ("long", 5)):
+        results = tmp_path / "results" / name
+        assert len(sorted((results / "stage_1" / "output").glob("*.png"))) == T
+        assert len(sorted((results / "final" / "output").glob("*.png"))) == T
+
+
 def test_dual_pipeline_with_precomputed_masks(tiny_video_dir):
     """Seg path end-to-end with masks already on disk (the PrecomputedMasks
     contract): dual-atlas fit + texture export + stage 2."""
