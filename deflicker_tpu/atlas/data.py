@@ -48,17 +48,30 @@ class VideoData(NamedTuple):
         TPU gathers serialize per row; at 10k samples/iteration the seven
         separate gathers were ~20% of the fit step.  Channel layout:
         [rgb 0:3 | dx 3:6 | dy 6:9 | flow_fwd 9:11 | flow_bwd 11:13 |
-         mask_fwd 13 | mask_bwd 14 | mask 15].  Costs one extra copy of
-        the video tensors in HBM; built once per fit (fit_atlas), never
-        inside jit."""
+         mask_fwd 13 | mask_bwd 14 | mask 15].  Built once per fit
+        (fit_atlas), never inside jit; the pack is the ONLY tensor the fit
+        holds in HBM (see fit_view)."""
         if self.packed is not None:
             return self
-        p = jnp.concatenate([
-            self.video, self.dx, self.dy, self.flow_fwd, self.flow_bwd,
-            self.mask_fwd[..., None].astype(jnp.float32),
-            self.mask_bwd[..., None].astype(jnp.float32),
-            self.mask[..., None].astype(jnp.float32)], axis=-1)
+        p = jnp.asarray(np.concatenate([
+            np.asarray(self.video), np.asarray(self.dx), np.asarray(self.dy),
+            np.asarray(self.flow_fwd), np.asarray(self.flow_bwd),
+            np.asarray(self.mask_fwd)[..., None].astype(np.float32),
+            np.asarray(self.mask_bwd)[..., None].astype(np.float32),
+            np.asarray(self.mask)[..., None].astype(np.float32)], axis=-1))
         return self._replace(packed=p)
+
+    def fit_view(self) -> "VideoData":
+        """Fit-time view: only `packed` is real; every other leaf shrinks
+        to a 1-pixel dummy.  The loss reads exclusively from the pack, so
+        threading the full VideoData through the scanned fit would hold
+        (or, with host-resident originals, re-upload) a second full copy
+        of the video tensors in HBM for nothing — the view halves fit HBM
+        and the originals stay host-side for evaluation/diagnostics."""
+        assert self.packed is not None, "call with_packed() first"
+        z = lambda c: jnp.zeros((1, 1, 1) + ((c,) if c else ()), jnp.float32)
+        return VideoData(z(3), z(3), z(3), z(0), z(2), z(2), z(0), z(0),
+                         packed=self.packed)
 
     @property
     def num_frames(self) -> int:
@@ -159,6 +172,8 @@ def load_video_data(frames_dir: str | Path, resy: int, resx: int,
             mask_fwd[t] = 1.0
             mask_bwd[t + 1] = 1.0
 
-    dev = lambda a: jnp.asarray(a)
-    return VideoData(dev(video), dev(dx), dev(dy), dev(mask),
-                     dev(flow_fwd), dev(flow_bwd), dev(mask_fwd), dev(mask_bwd))
+    # leaves stay HOST-resident numpy: the fit uploads only the gather
+    # pack (with_packed + fit_view), evaluation reads these on host, and
+    # jit'd consumers (diagnostics, texture) upload lazily on use
+    return VideoData(video, dx, dy, mask,
+                     flow_fwd, flow_bwd, mask_fwd, mask_bwd)

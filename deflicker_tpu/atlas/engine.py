@@ -377,7 +377,10 @@ def fit_atlas(params: Params, specs: AtlasSpecs, data: VideoData,
     exactly once, at iteration 10000.
     """
     T, (H, W) = data.num_frames, data.res
-    data = data.with_packed()        # one-gather sampling (built outside jit)
+    # one-gather sampling; the scanned fit sees ONLY the pack (fit_view) —
+    # the original tensors never enter (or re-upload into) fit HBM
+    data = data.with_packed()
+    data_fit = data.fit_view()
     optimizer = optax.adam(cfg.learning_rate)
     if opt_state is None:
         opt_state = optimizer.init(params)
@@ -415,7 +418,8 @@ def fit_atlas(params: Params, specs: AtlasSpecs, data: VideoData,
             step_fns[flags] = make_scan_step(loss_fn, optimizer,
                                              cfg.samples_batch, H, W, T,
                                              mesh=mesh)
-        carry, aux_mean = _run_chunk(carry, data, step_fn=step_fns[flags],
+        carry, aux_mean = _run_chunk(carry, data_fit,
+                                     step_fn=step_fns[flags],
                                      n_steps=n_steps)
         i = nxt
         rec = {k: float(v) for k, v in aux_mean.items()}

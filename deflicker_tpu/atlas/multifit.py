@@ -46,13 +46,18 @@ def stack_video_data(datas: Sequence[VideoData]) -> VideoData:
     """Stack same-shaped videos into one VideoData with leading V axis.
 
     Builds each video's gather pack first so the stacked pytree is
-    fit-ready.  Raises if shapes disagree (group clips by (T, H, W) before
-    calling — `group_by_shape`)."""
+    fit-ready; only the packs stack on DEVICE (the fit reads nothing
+    else), the original tensors stack as host numpy.  Raises if shapes
+    disagree (group clips by (T, H, W) before calling — `group_by_shape`)."""
     datas = [d.with_packed() for d in datas]
-    shapes = {d.video.shape for d in datas}
+    shapes = {tuple(d.video.shape) for d in datas}
     if len(shapes) != 1:
         raise ValueError(f"cannot stack videos of differing shapes: {shapes}")
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *datas)
+    packed = jnp.stack([d.packed for d in datas])
+    host = [d._replace(packed=None) for d in datas]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *host)
+    return stacked._replace(packed=packed)
 
 
 def group_by_shape(datas: Sequence[VideoData]) -> Dict[tuple, List[int]]:
@@ -143,11 +148,17 @@ def fit_atlas_multi(params_v: Params, specs: AtlasSpecs, data_v: VideoData,
     keys = jax.random.split(key, V)
     carry = (params_v, opt_state_v, keys)
     carry = _shard_leading(carry, mesh)
-    data_v = _shard_leading(data_v, mesh)
 
     # single-video template VideoData for make_loss_fn's static-shape probe
     data_t = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape[1:], x.dtype), data_v)
+        lambda x: jax.ShapeDtypeStruct(tuple(x.shape[1:]), x.dtype), data_v)
+
+    # the fit reads only the packs: shard/hold those on device, shrink
+    # every other leaf to per-video dummies (see VideoData.fit_view)
+    z = lambda c: jnp.zeros((V, 1, 1, 1) + ((c,) if c else ()), jnp.float32)
+    data_v = VideoData(z(3), z(3), z(3), z(0), z(2), z(2), z(0), z(0),
+                       packed=data_v.packed)
+    data_v = _shard_leading(data_v, mesh)
 
     def phase_flags(i: int) -> Tuple[bool, bool]:
         include_global = (cfg.include_global_rigidity_loss
