@@ -1,0 +1,498 @@
+"""Stage-1 convergence parity: the reference's OWN fit loop vs fit_atlas.
+
+Per-step golden parity (tests/test_golden_stage1.py) pins ONE iteration's
+objective; this harness closes the remaining fidelity gap (VERDICT.md round-2
+item 1) by running BOTH fits for many hundred iterations from an identical
+starting point and showing the loss/PSNR trajectories track:
+
+  * identical data: real test-video frames at a tiny resolution, Farneback
+    flow + fwd/bwd consistency masks, identical tensors fed to both sides;
+  * identical init: params drawn with our `imlp_init`, exported to a torch
+    `IMLP` (reference module, reference state-dict keys) bit-exactly;
+  * identical sampling: one numpy RNG pre-draws every pretrain and fit
+    batch's pixel indices; both loops consume the same index stream
+    (the reference samples a flat index into the (j,i,f) cross product —
+    src/stage1_neural_atlas.py:159-161 — decoded here as
+    f = idx // (H*W), i = (idx % (H*W)) // W, j = idx % W, matching
+    get_tuples' frame-major/row-major order, unwrap_utils.py:166-173);
+  * identical schedules: pretrain (separate Adam, unwrap_utils.py:176-198),
+    then Adam(1e-4) over mapping1+atlas with the global-rigidity term
+    dropped after `stop_global_rigidity` (stage1_neural_atlas.py:151-156).
+
+The torch side executes the reference's own modules (IMLP + loss_utils,
+imported from /root/reference); the JAX side executes the PRODUCTION loss
+(`make_loss_fn`, fit_precision='highest') and optimizer — only the sampling
+is injected instead of drawn on device.
+
+Trajectories cannot match step-for-step forever (fp32 associativity
+differences compound through Adam), so the comparison is statistical:
+windowed-mean total loss and full-frame reconstruction PSNR.
+
+Usage:
+    python bench_convergence.py [--iters 1000] [--out CONVERGENCE.md]
+Writes CONVERGENCE.md + BENCH_CONVERGENCE.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+REF = "/root/reference"
+
+# ---------------------------------------------------------------------------
+# data
+
+
+def build_data(video_path: str, T: int, H: int, W: int):
+    """Tiny-res VideoData from the real test video + Farneback flow."""
+    import cv2
+
+    from deflicker_tpu.atlas.data import VideoData, _consistency_np
+    from deflicker_tpu.flow.engine import FarnebackFlow
+
+    cap = cv2.VideoCapture(video_path)
+    frames = []
+    while len(frames) < T:
+        ok, im = cap.read()
+        if not ok:
+            break
+        im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+        frames.append(cv2.resize(im, (W, H), interpolation=cv2.INTER_AREA))
+    cap.release()
+    assert len(frames) == T, f"video has only {len(frames)} frames"
+    video = np.stack(frames).astype(np.float32) / 255.0
+
+    dx = np.zeros_like(video)
+    dy = np.zeros_like(video)
+    dx[:, :, :-1] = video[:, :, 1:] - video[:, :, :-1]
+    dy[:, :-1, :] = video[:, 1:] - video[:, :-1]
+
+    flow = FarnebackFlow()
+    u8 = (video * 255).astype(np.uint8)
+    flow_fwd = np.zeros((T, H, W, 2), np.float32)
+    flow_bwd = np.zeros((T, H, W, 2), np.float32)
+    mask_fwd = np.zeros((T, H, W), np.float32)
+    mask_bwd = np.zeros((T, H, W), np.float32)
+    for t in range(T - 1):
+        f12, f21 = flow.compute_pair(u8[t], u8[t + 1])
+        flow_fwd[t] = f12
+        flow_bwd[t + 1] = f21
+        mask_fwd[t] = _consistency_np(f12, f21)
+        mask_bwd[t + 1] = _consistency_np(f21, f12)
+
+    return VideoData(video, dx, dy, np.zeros((T, H, W), np.float32),
+                     flow_fwd, flow_bwd, mask_fwd, mask_bwd)
+
+
+def draw_indices(rng: np.random.Generator, iters: int, batch: int,
+                 pretrain_iters: int, pretrain_batch: int,
+                 T: int, H: int, W: int):
+    """Pre-draw every batch both loops will consume."""
+    flat = rng.integers(0, T * H * W, size=(iters, batch))
+    f = (flat // (H * W)).astype(np.int32)
+    i = ((flat % (H * W)) // W).astype(np.int32)
+    j = (flat % W).astype(np.int32)
+    pre_i = rng.integers(0, H, size=(pretrain_iters * T, pretrain_batch)
+                         ).astype(np.int32)
+    pre_j = rng.integers(0, W, size=(pretrain_iters * T, pretrain_batch)
+                         ).astype(np.int32)
+    return (j, i, f), (pre_j, pre_i)
+
+
+# ---------------------------------------------------------------------------
+# torch side: the reference's own code
+
+
+def run_torch(init_params, data, fit_idx, pre_idx, cfg, specs, psnr_every):
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import torch
+    import torch.optim as optim
+    from src.models.stage_1.implicit_neural_networks import IMLP
+    from src.models.stage_1.loss_utils import (get_gradient_loss_single,
+                                               get_optical_flow_loss,
+                                               get_rigidity_loss)
+
+    torch.set_num_threads(1)
+    dev = torch.device("cpu")
+    T, H, W = data.video.shape[:3]
+    L = max(H, W)
+
+    def to_torch_imlp(params, spec):
+        net = IMLP(input_dim=spec.input_dim, output_dim=spec.output_dim,
+                   hidden_dim=spec.hidden_dim,
+                   use_positional=spec.use_positional,
+                   positional_dim=spec.positional_dim,
+                   num_layers=spec.num_layers,
+                   skip_layers=list(spec.skip_layers))
+        sd = net.state_dict()
+        for li, layer in enumerate(params):
+            sd[f"hidden.{li}.weight"] = torch.from_numpy(
+                np.asarray(layer["w"]).T.copy())
+            sd[f"hidden.{li}.bias"] = torch.from_numpy(
+                np.asarray(layer["b"]).copy())
+        net.load_state_dict(sd)
+        return net.float()
+
+    # reference tensor layout: (H, W, C, T) / flows (H, W, 2, T, 1)
+    to_ref = lambda a: torch.from_numpy(
+        np.transpose(a, (1, 2, 3, 0)).copy()).float()
+    video_t = to_ref(data.video)
+    dx_t = to_ref(data.dx)
+    dy_t = to_ref(data.dy)
+    flows = torch.from_numpy(np.transpose(
+        np.asarray(data.flow_fwd), (1, 2, 3, 0))[..., None].copy()).float()
+    flows_r = torch.from_numpy(np.transpose(
+        np.asarray(data.flow_bwd), (1, 2, 3, 0))[..., None].copy()).float()
+    fmask = torch.from_numpy(np.transpose(
+        np.asarray(data.mask_fwd), (1, 2, 0))[..., None].copy()).float()
+    fmask_r = torch.from_numpy(np.transpose(
+        np.asarray(data.mask_bwd), (1, 2, 0))[..., None].copy()).float()
+
+    mapping1 = to_torch_imlp(init_params["mapping1"], specs.mapping1)
+    atlas = to_torch_imlp(init_params["atlas"], specs.atlas)
+
+    # pretrain: separate Adam, loss (xy*scale - uv).norm.mean
+    # (unwrap_utils.py:176-198)
+    pre_j, pre_i = pre_idx
+    opt_pre = optim.Adam(mapping1.parameters(), lr=cfg.learning_rate)
+    frames_num = T
+    for s in range(pre_j.shape[0]):
+        f = s % frames_num
+        j_s = torch.from_numpy(pre_j[s][:, None]).float() / (L / 2) - 1
+        i_s = torch.from_numpy(pre_i[s][:, None]).float() / (L / 2) - 1
+        xyt = torch.cat(
+            (j_s, i_s, (f / (frames_num / 2.0) - 1) * torch.ones_like(i_s)),
+            dim=1)
+        uv = mapping1(xyt)
+        mapping1.zero_grad()
+        loss = (xyt[:, :2] * cfg.uv_mapping_scale - uv).norm(dim=1).mean()
+        loss.backward()
+        opt_pre.step()
+
+    optimizer_all = optim.Adam(
+        [{"params": list(mapping1.parameters())},
+         {"params": list(atlas.parameters())}], lr=cfg.learning_rate)
+
+    jj, ii, ff = fit_idx
+    iters = jj.shape[0]
+    losses = np.zeros(iters, np.float64)
+    rgb_losses = np.zeros(iters, np.float64)
+    psnrs = {}
+
+    def psnr():
+        with torch.no_grad():
+            total_mse, n = 0.0, 0
+            for f in range(T):
+                gy, gx = np.mgrid[0:H, 0:W]
+                jt = torch.from_numpy(gx.ravel()[:, None]).float()
+                it = torch.from_numpy(gy.ravel()[:, None]).float()
+                xyt = torch.cat((jt / (L / 2) - 1, it / (L / 2) - 1,
+                                 torch.full_like(jt, f / (T / 2.0) - 1)), dim=1)
+                rgb = (atlas(mapping1(xyt) * 0.5 + 0.5) + 1.0) * 0.5
+                gt = video_t[:, :, :, f].reshape(-1, 3)
+                total_mse += float(((rgb - gt) ** 2).mean()) * len(gt)
+                n += len(gt)
+            return -10.0 * np.log10(total_mse / n)
+
+    t0 = time.time()
+    for i in range(iters):
+        jt = torch.from_numpy(jj[i][:, None]).long()
+        it = torch.from_numpy(ii[i][:, None]).long()
+        ft = torch.from_numpy(ff[i][:, None]).long()
+        jif_current = torch.stack([jt, it, ft])
+        rgb_current = video_t[it[:, 0], jt[:, 0], :, ft[:, 0]]
+        xyt = torch.cat((jt.float() / (L / 2) - 1, it.float() / (L / 2) - 1,
+                         ft.float() / (T / 2.0) - 1), dim=1)
+
+        uv1 = mapping1(xyt)
+        alpha = torch.ones(len(jt), 1)
+        rgb_out = (atlas(uv1 * 0.5 + 0.5) + 1.0) * 0.5
+
+        gradient_loss = get_gradient_loss_single(
+            dx_t, dy_t, jif_current, mapping1, atlas, rgb_out, dev, W, T)
+        rgb_loss = (torch.norm(rgb_out - rgb_current, dim=1) ** 2).mean()
+        rigidity_loss1 = get_rigidity_loss(
+            jif_current, cfg.derivative_amount, L, T, mapping1, uv1, dev,
+            uv_mapping_scale=cfg.uv_mapping_scale)
+        flow_loss1 = get_optical_flow_loss(
+            jif_current, uv1, flows_r, fmask_r, L, T, mapping1, flows, fmask,
+            cfg.uv_mapping_scale, dev, use_alpha=True, alpha=alpha)
+
+        loss = (cfg.rigidity_coeff * rigidity_loss1
+                + rgb_loss * cfg.rgb_coeff
+                + cfg.optical_flow_coeff * flow_loss1
+                + gradient_loss * cfg.gradient_loss_coeff)
+        if cfg.include_global_rigidity_loss and i <= cfg.stop_global_rigidity:
+            gr = get_rigidity_loss(
+                jif_current, cfg.global_rigidity_derivative_amount_fg, L, T,
+                mapping1, uv1, dev, uv_mapping_scale=cfg.uv_mapping_scale)
+            loss = loss + cfg.global_rigidity_coeff_fg * gr
+
+        optimizer_all.zero_grad()
+        loss.backward()
+        optimizer_all.step()
+        losses[i] = float(loss)
+        rgb_losses[i] = float(rgb_loss)
+        if (i + 1) % psnr_every == 0 or i == iters - 1:
+            psnrs[i + 1] = psnr()
+
+    return {"loss": losses, "rgb": rgb_losses, "psnr": psnrs,
+            "wall_s": time.time() - t0}
+
+
+# ---------------------------------------------------------------------------
+# JAX side: the production loss/optimizer with injected sampling
+
+
+def run_jax(init_params, data, fit_idx, pre_idx, cfg, specs, psnr_every):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deflicker_tpu.atlas.engine import make_loss_fn
+    from deflicker_tpu.losses import safe_norm
+    from deflicker_tpu.models.imlp import imlp_apply
+    from deflicker_tpu.ops.coords import normalize_xyt
+
+    T, H, W = data.video.shape[:3]
+    L = max(H, W)
+    params = jax.tree_util.tree_map(jnp.asarray, init_params)
+
+    # pretrain (reference schedule, injected indices, separate Adam)
+    pre_j, pre_i = pre_idx
+    opt_pre = optax.adam(cfg.learning_rate)
+
+    def pre_loss(p, xyt):
+        uv = imlp_apply(p, xyt, specs.mapping1)
+        return jnp.mean(safe_norm(xyt[:, :2] * cfg.uv_mapping_scale - uv))
+
+    pre_grad = jax.value_and_grad(pre_loss)
+
+    @jax.jit
+    def pre_step(p, opt, j, i, f):
+        xyt = normalize_xyt(j, i, jnp.full(j.shape, f, jnp.float32), L, T)
+        _, grads = pre_grad(p, xyt)
+        updates, opt = opt_pre.update(grads, opt, p)
+        return optax.apply_updates(p, updates), opt
+
+    m1 = params["mapping1"]
+    opt_state_pre = opt_pre.init(m1)
+    for s in range(pre_j.shape[0]):
+        m1, opt_state_pre = pre_step(m1, opt_state_pre,
+                                     jnp.asarray(pre_j[s]),
+                                     jnp.asarray(pre_i[s]), s % T)
+    params["mapping1"] = m1
+
+    data = data.with_packed()
+    data_fit = data.fit_view()
+    optimizer = optax.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+
+    step_fns = {}
+
+    def make_step(include_global):
+        loss_fn = make_loss_fn(specs, cfg, data, include_global, False)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def step(carry, idx, d):
+            p, opt = carry
+            j, i, f = idx
+            (_, aux), grads = grad_fn(p, d, j, i, f)
+            updates, opt = optimizer.update(grads, opt, p)
+            p = optax.apply_updates(p, updates)
+            return (p, opt), (aux["total"], aux["rgb"])
+
+        @jax.jit
+        def run(carry, idx_chunk, d):
+            return jax.lax.scan(lambda c, x: step(c, x, d), carry, idx_chunk)
+
+        return run
+
+    jj, ii, ff = fit_idx
+    iters = jj.shape[0]
+    losses = np.zeros(iters, np.float64)
+    rgb_losses = np.zeros(iters, np.float64)
+    psnrs = {}
+
+    @jax.jit
+    def render_psnr(p, video):
+        gy, gx = jnp.mgrid[0:H, 0:W]
+        mse = 0.0
+        for f in range(T):
+            xyt = normalize_xyt(gx.ravel(), gy.ravel(),
+                                jnp.full((H * W,), f, jnp.float32), L, T)
+            uv = imlp_apply(p["mapping1"], xyt, specs.mapping1)
+            rgb = (imlp_apply(p["atlas"], uv * 0.5 + 0.5, specs.atlas) + 1) * 0.5
+            mse += jnp.mean((rgb - video[f].reshape(-1, 3)) ** 2)
+        return -10.0 * jnp.log10(mse / T)
+
+    video_dev = jnp.asarray(data.video)
+    t0 = time.time()
+    carry = (params, opt_state)
+    i = 0
+    boundary = (cfg.stop_global_rigidity + 1
+                if cfg.include_global_rigidity_loss else 0)
+    while i < iters:
+        nxt = min(iters, i + psnr_every)
+        if i < boundary < nxt:
+            nxt = boundary
+        include_global = (cfg.include_global_rigidity_loss
+                         and i <= cfg.stop_global_rigidity)
+        if include_global not in step_fns:
+            step_fns[include_global] = make_step(include_global)
+        idx_chunk = (jnp.asarray(jj[i:nxt]), jnp.asarray(ii[i:nxt]),
+                     jnp.asarray(ff[i:nxt]))
+        carry, (tot, rgb) = step_fns[include_global](carry, idx_chunk, data_fit)
+        losses[i:nxt] = np.asarray(tot)
+        rgb_losses[i:nxt] = np.asarray(rgb)
+        i = nxt
+        if i % psnr_every == 0 or i == iters:
+            psnrs[i] = float(render_psnr(carry[0], video_dev))
+
+    return {"loss": losses, "rgb": rgb_losses, "psnr": psnrs,
+            "wall_s": time.time() - t0}
+
+
+# ---------------------------------------------------------------------------
+
+
+def compare(tres, jres, iters):
+    """Windowed statistical comparison of the two trajectories."""
+    win = max(10, iters // 10)
+    stats = {}
+    for name, key in (("total", "loss"), ("rgb", "rgb")):
+        a, b = tres[key], jres[key]
+        windows = {}
+        for label, sl in (("first", slice(0, win)),
+                          ("mid", slice(iters // 2 - win // 2,
+                                        iters // 2 + win // 2)),
+                          ("final", slice(iters - win, iters))):
+            ma, mb = float(np.mean(a[sl])), float(np.mean(b[sl]))
+            windows[label] = {"torch": ma, "jax": mb,
+                              "ratio": mb / ma if ma else float("nan")}
+        stats[name] = windows
+    stats["psnr"] = {str(k): {"torch": tres["psnr"].get(k),
+                              "jax": jres["psnr"].get(k)}
+                     for k in sorted(set(tres["psnr"]) | set(jres["psnr"]))}
+    return stats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--video", default="/root/reference/data/test/"
+                    "Winter_Scenes_in_Holland.mp4")
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--height", type=int, default=36)
+    ap.add_argument("--width", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=1000)
+    ap.add_argument("--pretrain_iters", type=int, default=100)
+    ap.add_argument("--pretrain_batch", type=int, default=2048)
+    ap.add_argument("--stop_global_rigidity", type=int, default=500)
+    # default 100 px is larger than the tiny test frame; 16 keeps the
+    # global-rigidity term meaningful at this scale (same on both sides)
+    ap.add_argument("--global_derivative_amount", type=int, default=16)
+    ap.add_argument("--psnr_every", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=str(REPO / "CONVERGENCE.md"))
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # fp32 HIGHEST, host-local
+
+    from deflicker_tpu.atlas.engine import build_specs, init_models
+    from deflicker_tpu.config import AtlasConfig
+
+    cfg = AtlasConfig(fit_precision="highest", use_pallas_imlp=False,
+                      samples_batch=args.batch,
+                      iters_num=args.iters,
+                      stop_global_rigidity=args.stop_global_rigidity,
+                      global_rigidity_derivative_amount_fg=args.global_derivative_amount,
+                      global_rigidity_derivative_amount_bg=args.global_derivative_amount,
+                      pretrain_iter_number=args.pretrain_iters)
+    specs = build_specs(cfg, dual=False)
+    init_params = jax.tree_util.tree_map(
+        np.asarray, init_models(jax.random.key(args.seed), specs))
+
+    print(f"building data: {args.frames}x{args.height}x{args.width}")
+    data = build_data(args.video, args.frames, args.height, args.width)
+    rng = np.random.default_rng(args.seed)
+    fit_idx, pre_idx = draw_indices(rng, args.iters, args.batch,
+                                    args.pretrain_iters, args.pretrain_batch,
+                                    args.frames, args.height, args.width)
+
+    print("running torch reference fit...", flush=True)
+    tres = run_torch(init_params, data, fit_idx, pre_idx, cfg, specs,
+                     args.psnr_every)
+    print(f"torch done in {tres['wall_s']:.0f}s, "
+          f"final loss {tres['loss'][-1]:.3f}", flush=True)
+
+    print("running JAX production fit...", flush=True)
+    jres = run_jax(init_params, data, fit_idx, pre_idx, cfg, specs,
+                   args.psnr_every)
+    print(f"jax done in {jres['wall_s']:.0f}s, "
+          f"final loss {jres['loss'][-1]:.3f}", flush=True)
+
+    stats = compare(tres, jres, args.iters)
+
+    ds = max(1, args.iters // 200)
+    payload = {
+        "config": {k: getattr(args, k) for k in
+                   ("frames", "height", "width", "batch", "iters",
+                    "pretrain_iters", "pretrain_batch",
+                    "stop_global_rigidity", "seed")},
+        "stats": stats,
+        "torch_wall_s": tres["wall_s"], "jax_wall_s": jres["wall_s"],
+        "loss_torch": tres["loss"][::ds].tolist(),
+        "loss_jax": jres["loss"][::ds].tolist(),
+    }
+    (REPO / "BENCH_CONVERGENCE.json").write_text(json.dumps(payload, indent=1))
+
+    lines = [
+        "# CONVERGENCE — stage-1 trajectory parity (torch reference vs fit_atlas)",
+        "",
+        f"Config: {args.frames} frames x {args.height}x{args.width}, batch "
+        f"{args.batch}, {args.iters} fit iterations (+{args.pretrain_iters}"
+        f"x{args.frames} pretrain steps), identical init / data / sample "
+        f"stream, global rigidity until iter {args.stop_global_rigidity}.",
+        "",
+        "Torch side: the reference's own `IMLP` + `loss_utils` + `optim.Adam` "
+        "(src/stage1_neural_atlas.py:151-231). JAX side: production "
+        "`make_loss_fn` + optax.adam, `fit_precision='highest'`, CPU.",
+        "",
+        "## Windowed mean total loss",
+        "",
+        "| window | torch | jax | ratio (jax/torch) |",
+        "|---|---|---|---|",
+    ]
+    for label in ("first", "mid", "final"):
+        w = stats["total"][label]
+        lines.append(f"| {label} | {w['torch']:.4f} | {w['jax']:.4f} | "
+                     f"{w['ratio']:.4f} |")
+    lines += ["", "## Reconstruction PSNR (dB, full-frame render)", "",
+              "| iteration | torch | jax | delta |", "|---|---|---|---|"]
+    for k, v in stats["psnr"].items():
+        if v["torch"] is not None and v["jax"] is not None:
+            lines.append(f"| {k} | {v['torch']:.2f} | {v['jax']:.2f} | "
+                         f"{v['jax'] - v['torch']:+.2f} |")
+    lines += ["", f"Wall: torch {tres['wall_s']:.0f}s, "
+              f"jax (cpu) {jres['wall_s']:.0f}s.",
+              "", "Full downsampled trajectories: BENCH_CONVERGENCE.json."]
+    Path(args.out).write_text("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
+    fin = stats["total"]["final"]["ratio"]
+    print(json.dumps({"metric": "convergence_final_loss_ratio",
+                      "value": round(fin, 4), "unit": "jax/torch"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -123,6 +123,10 @@ def fit_atlas_multi(params_v: Params, specs: AtlasSpecs, data_v: VideoData,
                     mesh=None,
                     eval_callback: Optional[Callable] = None,
                     log_callback: Optional[Callable] = None,
+                    start_iteration: int = 0,
+                    opt_state_v=None,
+                    keys: Optional[jax.Array] = None,
+                    checkpoint_callback: Optional[Callable] = None,
                     ) -> List[FitResult]:
     """Fit V videos in parallel; returns one FitResult per video.
 
@@ -130,6 +134,20 @@ def fit_atlas_multi(params_v: Params, specs: AtlasSpecs, data_v: VideoData,
     `init_models_multi` / `stack_video_data`).  `eval_callback(iteration,
     video_index, params, opt_state)` fires per video at the reference's
     cadence; `log_callback(iteration, video_index, record)` likewise.
+
+    Resume: pass `start_iteration` (= steps already completed), the saved
+    `opt_state_v` and the saved per-video `keys` — the continuation then
+    restores the EXACT carry (params, optimizer moments, RNG stream; the
+    reference's resume instead re-runs the checkpointed iteration once,
+    stage1_neural_atlas.py:141-151) and replays the same sample sequence.
+    The trajectory matches an uninterrupted fit up to XLA recompilation
+    float noise: recompiling the identical step program is not bitwise
+    stable (measured ~1e-4 param drift per chunk on CPU; with the
+    persistent compile cache serving one binary it IS bitwise).
+    `checkpoint_callback(iteration_count, carry)` fires with the full
+    stacked carry (params_v, opt_state_v, keys) at the eval cadence and
+    once at fit end; `iteration_count` is the number of completed steps,
+    i.e. the `start_iteration` to resume with.
     """
     V = data_v.video.shape[0]
     T, H, W = data_v.video.shape[1:4]
@@ -144,8 +162,10 @@ def fit_atlas_multi(params_v: Params, specs: AtlasSpecs, data_v: VideoData,
         mesh = None
 
     optimizer = optax.adam(cfg.learning_rate)
-    opt_state_v = jax.vmap(optimizer.init)(params_v)
-    keys = jax.random.split(key, V)
+    if opt_state_v is None:
+        opt_state_v = jax.vmap(optimizer.init)(params_v)
+    if keys is None:
+        keys = jax.random.split(key, V)
     carry = (params_v, opt_state_v, keys)
     carry = _shard_leading(carry, mesh)
 
@@ -173,7 +193,7 @@ def fit_atlas_multi(params_v: Params, specs: AtlasSpecs, data_v: VideoData,
     vsteps: Dict[Tuple[bool, bool], Callable] = {}
     logs: List[List[Dict[str, float]]] = [[] for _ in range(V)]
 
-    i = 0
+    i = start_iteration
     while i < cfg.iters_num:
         flags = phase_flags(i)
         nxt = i + max(1, cfg.steps_per_call)
@@ -213,12 +233,19 @@ def fit_atlas_multi(params_v: Params, specs: AtlasSpecs, data_v: VideoData,
                 log_callback(i - 1, v, rec)
 
         last = i - 1
-        if (eval_callback is not None and last % eval_every == 0
-                and last > 0 and last != cfg.iters_num - 1):
-            for v, (p, o) in enumerate(zip(unstack_tree(carry[0], V),
-                                           unstack_tree(carry[1], V))):
-                eval_callback(last, v, p, o)
+        # same cadence as engine.fit_atlas (reference:
+        # stage1_neural_atlas.py:246-251) — including an eval point landing
+        # on the final iteration
+        if last % eval_every == 0 and last > start_iteration:
+            if eval_callback is not None:
+                for v, (p, o) in enumerate(zip(unstack_tree(carry[0], V),
+                                               unstack_tree(carry[1], V))):
+                    eval_callback(last, v, p, o)
+            if checkpoint_callback is not None:
+                checkpoint_callback(i, carry)
 
+    if checkpoint_callback is not None:
+        checkpoint_callback(i, carry)
     params_v, opt_state_v, _ = carry
     return [FitResult(p, o, i, logs[v])
             for v, (p, o) in enumerate(zip(unstack_tree(params_v, V),

@@ -105,6 +105,13 @@ def run_batch_parallel(videos, args, atlas_cfg, mesh=None) -> dict:
             _, psnrs[i] = evaluate_and_save(
                 results[v].params, specs, datas[i], atlas_cfg, folder,
                 results[v].iteration - 1, results[v].opt_state)
+            if dual:
+                # editable-atlas artifact set — same contract as the
+                # sequential (pipeline.py run_stage1) and chunked paths
+                from ..atlas.texture import export_atlas_artifacts
+
+                export_atlas_artifacts(results[v].params, specs, datas[i],
+                                       folder / "texture")
 
     # stage 2: group by full resolution; the refinement recurrence advances
     # each group's videos in lockstep (FilterEngine.run_multi)
@@ -133,9 +140,13 @@ def run_batch_parallel(videos, args, atlas_cfg, mesh=None) -> dict:
                           "frames": datas[i].num_frames,
                           "psnr": round(psnrs[i], 2)}))
 
-    # videos past the atlas cap: full pipeline (auto-chunked stage 1)
+    # videos past the atlas cap: full pipeline (auto-chunked stage 1),
+    # reusing the already-loaded RAFT weights and stage-2 engine
     for v in long_videos:
-        out = run_pipeline(pipe_cfg(v), atlas_cfg, mesh=mesh)
+        if flow_provider is None:       # every video was long
+            flow_provider = make_flow_provider(pipe_cfg(v), mesh=mesh)
+        out = run_pipeline(pipe_cfg(v), atlas_cfg, mesh=mesh,
+                           flow_provider=flow_provider, filter_engine=engine)
         total_frames += out["num_frames"]
         print(json.dumps({"video": Path(v).stem,
                           "frames": out["num_frames"],
@@ -174,6 +185,16 @@ def main(argv=None) -> int:
                         "video-axis-sharded over the mesh)")
     p.add_argument("--stage2_precision", choices=["float32", "bfloat16"],
                    default="bfloat16")
+    p.add_argument("--dcn", action="store_true",
+                   help="multi-host fan-out: initialize jax.distributed "
+                        "(JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID env or TPU-pod auto-detection) and "
+                        "process this host's round-robin share of the "
+                        "video list (parallel/multihost.py)")
+    p.add_argument("--coordinator", default=None, type=str,
+                   help="jax.distributed coordinator address (with --dcn)")
+    p.add_argument("--num_processes", default=None, type=int)
+    p.add_argument("--process_id", default=None, type=int)
     args = p.parse_args(argv)
 
     videos = list(args.videos or [])
@@ -182,6 +203,17 @@ def main(argv=None) -> int:
             videos += [str(v) for v in sorted(Path(args.video_dir).glob(ext))]
     if not videos:
         p.error("no videos given (use --videos or --video_dir)")
+
+    if args.dcn:
+        from ..parallel import assign_videos, init_distributed
+
+        pid, nproc = init_distributed(args.coordinator, args.num_processes,
+                                      args.process_id)
+        videos = assign_videos(videos, pid, nproc)
+        print(json.dumps({"process": pid, "processes": nproc,
+                          "videos_assigned": len(videos)}))
+        if not videos:
+            return 0
 
     import dataclasses
 
@@ -199,7 +231,13 @@ def main(argv=None) -> int:
     import jax
 
     mesh = None
-    if len(jax.devices()) > 1:
+    if args.dcn:
+        # within-video parallelism must stay on local ICI — the video axis
+        # is already split across hosts, so no program may span DCN
+        from ..parallel import local_mesh
+
+        mesh = local_mesh()
+    elif len(jax.devices()) > 1:
         from ..parallel import make_mesh
 
         mesh = make_mesh()

@@ -101,8 +101,12 @@ def _run_stage1_chunked(frames_dir: Path, atlas_cfg: AtlasConfig,
     flow/consistency at the boundary frame), exactly what a manual split
     would produce.
 
-    Checkpoint/resume stays a single-fit feature; the chunked fit writes a
-    combined final checkpoint for inspection only.
+    Checkpoint/resume: the stacked carry (params_v, opt_state_v, RNG keys)
+    is checkpointed at the eval cadence and at fit end; with
+    `load_checkpoint` set (same JSON flags as the single-fit path,
+    config_flow_100.json:37-38) a matching checkpoint resumes the group
+    fit with the exact state and sample stream of the uninterrupted run
+    (equal up to XLA recompile float noise — see fit_atlas_multi).
     """
     import time as _time
 
@@ -131,37 +135,79 @@ def _run_stage1_chunked(frames_dir: Path, atlas_cfg: AtlasConfig,
     key = jax.random.key(atlas_cfg.seed)
     k_init, k_pre1, k_pre2, k_fit = jax.random.split(key, 4)
 
+    ckpt_file = results_folder / "checkpoint"
+
+    def save_group_ckpt(iteration, carry):
+        import jax.random as jrandom
+
+        p_v, o_v, keys_v = carry
+        save_checkpoint(ckpt_file, {
+            "params_v": p_v, "opt_state_v": o_v,
+            "key_data": np.array(jrandom.key_data(keys_v), copy=True),
+            "iteration": int(iteration),
+            "chunk_starts": starts, "chunk_size": size, "dual": dual})
+
+    resume = None
+    if atlas_cfg.load_checkpoint:
+        path = Path(atlas_cfg.checkpoint_path or ckpt_file)
+        if path.exists():
+            c = load_checkpoint(path)
+            if (list(c.get("chunk_starts", [])) == list(starts)
+                    and c.get("chunk_size") == size and "opt_state_v" in c):
+                resume = c
+            else:
+                print(f"[deflicker_tpu] checkpoint {path} does not match "
+                      f"this chunking ({c.get('chunk_starts')} vs {starts})"
+                      " — starting fresh")
+
     t1 = _time.time()
-    params_v = init_models_multi(k_init, specs, n)
-    if atlas_cfg.pretrain_mapping1:
-        params_v["mapping1"] = pretrain_mapping_multi(
-            params_v["mapping1"], specs.mapping1, k_pre1, n, size, resy,
-            resx, atlas_cfg.uv_mapping_scale, atlas_cfg.pretrain_iter_number)
-    if dual and atlas_cfg.pretrain_mapping2:
-        params_v["mapping2"] = pretrain_mapping_multi(
-            params_v["mapping2"], specs.mapping2, k_pre2, n, size, resy,
-            resx, atlas_cfg.uv_mapping_scale, atlas_cfg.pretrain_iter_number)
+    if resume is not None:
+        params_v = jax.tree_util.tree_map(jax.numpy.asarray,
+                                          resume["params_v"])
+        opt_state_v = resume["opt_state_v"]
+        fit_keys = jax.random.wrap_key_data(
+            jax.numpy.asarray(resume["key_data"]))
+        start_iteration = int(resume["iteration"])
+        print(f"[deflicker_tpu] resuming chunked fit at iteration "
+              f"{start_iteration} from {ckpt_file}")
+    else:
+        start_iteration, opt_state_v, fit_keys = 0, None, None
+        params_v = init_models_multi(k_init, specs, n)
+        if atlas_cfg.pretrain_mapping1:
+            params_v["mapping1"] = pretrain_mapping_multi(
+                params_v["mapping1"], specs.mapping1, k_pre1, n, size, resy,
+                resx, atlas_cfg.uv_mapping_scale,
+                atlas_cfg.pretrain_iter_number)
+        if dual and atlas_cfg.pretrain_mapping2:
+            params_v["mapping2"] = pretrain_mapping_multi(
+                params_v["mapping2"], specs.mapping2, k_pre2, n, size, resy,
+                resx, atlas_cfg.uv_mapping_scale,
+                atlas_cfg.pretrain_iter_number)
     t_pretrain = _time.time() - t1
 
     logger = ScalarLogger(results_folder)
     t2 = _time.time()
     results = fit_atlas_multi(
         params_v, specs, data_v, atlas_cfg, k_fit, mesh=mesh,
+        start_iteration=start_iteration, opt_state_v=opt_state_v,
+        keys=fit_keys, checkpoint_callback=save_group_ckpt,
         log_callback=lambda i, v, rec: logger.log(
             i, {f"chunk{v}/{k}": val for k, val in rec.items()}))
     t_fit = _time.time() - t2
 
     t3 = _time.time()
-    psnrs = []
+    psnrs, weights = [], []
     for k in range(n):
         prev_end = (starts[k - 1] + size) if k else 0
+        first_saved = max(0, prev_end - starts[k])
         _, p = evaluate_and_save(
             results[k].params, specs, datas[k], atlas_cfg, results_folder,
             results[k].iteration - 1, results[k].opt_state,
             frame_offset=starts[k],
-            first_saved_frame=max(0, prev_end - starts[k]),
+            first_saved_frame=first_saved,
             save_video=(k == n - 1), save_ckpt=False, psnr_marker=False)
         psnrs.append(p)
+        weights.append(size - first_saved)   # frames this chunk contributed
         if dual:
             # per-chunk editable-atlas artifact set (each chunk owns its
             # own atlas; the single-fit path writes stage_1/texture)
@@ -170,16 +216,14 @@ def _run_stage1_chunked(frames_dir: Path, atlas_cfg: AtlasConfig,
             export_atlas_artifacts(results[k].params, specs, datas[k],
                                    results_folder / "texture"
                                    / f"chunk_{k:02d}")
-    mean_psnr = float(np.mean(psnrs))
+    # saved-frame-weighted mean: the overlap-anchored last chunk saves fewer
+    # frames than it fits, so a plain chunk mean would over-weight it
+    mean_psnr = float(np.average(psnrs, weights=weights))
     (results_folder / f"PSNR_{mean_psnr:.2f}").touch()
-    save_checkpoint(results_folder / "checkpoint", {
-        "params": [r.params for r in results],
-        "chunk_starts": starts, "chunk_size": size,
-        "iteration": results[0].iteration, "dual": dual})
     t_render = _time.time() - t3
     logger.close()
 
-    iters = results[0].iteration
+    iters = results[0].iteration - start_iteration
     return {"psnr": mean_psnr, "num_frames": T_all, "res": (resy, resx),
             "t_pretrain": t_pretrain, "t_fit": t_fit, "t_render": t_render,
             "iters_per_sec": n * iters / t_fit if t_fit > 0 else 0.0,
@@ -330,7 +374,8 @@ def run_stage2(frames_dir: Path, cfg: PipelineConfig,
         engine = load_filter_engine(cfg.ckpt_filter, cfg.ckpt_local,
                                     mesh=mesh,
                                     dtype=jnp.dtype(cfg.stage2_dtype))
-    engine.run(frames_dir, style_dir, results_root / vid, fps=cfg.fps)
+    engine.run(frames_dir, style_dir, results_root / vid, fps=cfg.fps,
+               return_output=False)
     return {"t_stage2": time.time() - t0,
             "final_dir": results_root / vid / "final" / "output"}
 

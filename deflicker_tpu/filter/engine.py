@@ -76,6 +76,39 @@ def refine_sequence(variables: Dict, preds: jax.Array,
     return jnp.concatenate([p0[None], rest], axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def refine_span(variables: Dict, carry, preds: jax.Array,
+                n_valid: jax.Array, dtype=jnp.float32):
+    """A SPAN of the refinement recurrence, carry threaded across calls.
+
+    Streaming analog of `refine_sequence` (reference loop:
+    src/neural_filter_and_refinement.py:99-109): the caller holds
+    carry = (O_{t-1}, P_{t-1}) on device and feeds fixed-size spans of
+    filtered frames, so HBM holds one span — not the whole video — and
+    every span reuses ONE compiled program.  `n_valid` (traced scalar)
+    marks how many frames of the span are real: the tail span is padded
+    to the span length, and the carry freezes at the last real frame so
+    padding never leaks into the recurrence.
+
+    preds: (S, H, W, 3).  Returns (new_carry, refined (S, H, W, 3)).
+    """
+    net = TransformNet(nf=32, blocks=5, nc_out=3, dtype=dtype)
+
+    def step(c, x):
+        p_t, t = x
+        o_prev, p_prev = c
+        inp = jnp.concatenate([p_t, o_prev, p_t, p_prev], axis=-1)[None]
+        resid = net.apply(variables, inp.astype(dtype))[0].astype(jnp.float32)
+        o_t = p_t + resid
+        keep = t < n_valid
+        c = (jnp.where(keep, o_t, o_prev), jnp.where(keep, p_t, p_prev))
+        return c, o_t
+
+    ts = jnp.arange(preds.shape[0])
+    carry, out = jax.lax.scan(step, carry, (preds, ts))
+    return carry, out
+
+
 @functools.partial(jax.jit, static_argnames=("dtype", "mesh"))
 def refine_sequence_multi(variables: Dict, preds: jax.Array,
                           dtype=jnp.float32, mesh=None) -> jax.Array:
@@ -106,39 +139,47 @@ def refine_sequence_multi(variables: Dict, preds: jax.Array,
 
 class FilterEngine:
     def __init__(self, filter_variables: Dict, local_variables: Dict,
-                 dtype=jnp.float32, batch: int = 8, mesh=None):
+                 dtype=jnp.float32, batch: int = 8, mesh=None,
+                 span: int = 32):
         self.filter_variables = filter_variables
         self.local_variables = local_variables
         self.dtype = dtype
         self.batch = batch
         self.mesh = mesh
+        # streaming span: frames resident on device/host per refinement call
+        # (a 1080p padded span of 32 is ~0.8 GB of preds in HBM)
+        self.span = max(2, span)
         if mesh is not None and batch % mesh.size != 0:
             # keep the sharded frame batch even across devices
             self.batch = ((batch + mesh.size - 1) // mesh.size) * mesh.size
 
     @staticmethod
-    def _load_video(content_dir, style_dir):
-        """Load content + style frames; style resized to the content's size
-        like the reference (load_image(size=org_size),
-        models/utils.py:600-624).  Returns (content, style) as (T, H, W, 3)."""
+    def _load_span(content_names, style_names, s0, s1, H, W):
+        """Load frames [s0, s1); style resized to the content's size like
+        the reference (load_image(size=org_size), models/utils.py:600-624)."""
         import cv2
 
-        content_names = list_frames(content_dir)
-        style_names = list_frames(style_dir)
-        assert len(content_names) == len(style_names), (
-            f"{len(content_names)} content vs {len(style_names)} style frames")
-        T = len(content_names)
-        first = read_image(content_names[0])
-        H, W = first.shape[:2]
-        content = np.zeros((T, H, W, 3), np.float32)
-        style = np.zeros((T, H, W, 3), np.float32)
-        for t in range(T):
-            content[t] = read_image(content_names[t])
-            s = read_image(style_names[t])
+        n = s1 - s0
+        content = np.zeros((n, H, W, 3), np.float32)
+        style = np.zeros((n, H, W, 3), np.float32)
+        for t in range(n):
+            content[t] = read_image(content_names[s0 + t])
+            s = read_image(style_names[s0 + t])
             if s.shape[:2] != (H, W):
                 s = cv2.resize(s, (W, H), interpolation=cv2.INTER_LINEAR)
             style[t] = s
         return content, style
+
+    @classmethod
+    def _load_video(cls, content_dir, style_dir):
+        """Whole-video load (run_multi path). Returns (T, H, W, 3) pairs."""
+        content_names = list_frames(content_dir)
+        style_names = list_frames(style_dir)
+        assert len(content_names) == len(style_names), (
+            f"{len(content_names)} content vs {len(style_names)} style frames")
+        H, W = read_image(content_names[0]).shape[:2]
+        return cls._load_span(content_names, style_names, 0,
+                              len(content_names), H, W)
 
     def _save_outputs(self, content, style, preds, refined, results_dir,
                       fps, save_concat):
@@ -188,20 +229,119 @@ class FilterEngine:
                 dtype=self.dtype, mesh=self.mesh))
         return preds[:T]
 
+    def _write_span(self, s0, content, style, preds, refined, results_dir,
+                    save_concat, size):
+        """PNG writes for one span (runs on the writer thread — pure
+        cv2/numpy, no JAX), with the reference's unpad-by-resize quirk."""
+        import cv2
+
+        W, H = size
+        results_dir = Path(results_dir)
+        concat_dir = results_dir / "neural_filter" / "concat"
+        filter_dir = results_dir / "neural_filter" / "output"
+        final_dir = results_dir / "final" / "output"
+        for t in range(preds.shape[0]):
+            p = cv2.resize(preds[t], (W, H), interpolation=cv2.INTER_LINEAR)
+            o = cv2.resize(refined[t], (W, H), interpolation=cv2.INTER_LINEAR)
+            write_image(p, filter_dir / f"{s0 + t:05d}.png")
+            write_image(o, final_dir / f"{s0 + t:05d}.png")
+            if save_concat:
+                write_image(np.concatenate([content[t], style[t], p], axis=1),
+                            concat_dir / f"{s0 + t:05d}.png")
+
     def run(self, content_dir: str | Path, style_dir: str | Path,
             results_dir: str | Path, fps: int = 10,
-            save_concat: bool = True) -> np.ndarray:
-        """Full stage 2 over a video's frames; returns refined (T, H, W, 3)."""
-        content, style = self._load_video(content_dir, style_dir)
-        T, H, W = content.shape[:3]
+            save_concat: bool = True,
+            return_output: bool = True) -> Optional[np.ndarray]:
+        """Full stage 2 over a video's frames — STREAMING.
+
+        Three overlapped stages (the reference — and our round-2 engine —
+        serialized load-all -> compute-all -> write-all,
+        src/neural_filter_and_refinement.py:89-121):
+
+          reader thread:  PNG decode of span k+1
+          main thread:    UNet filter (batched) + refinement span k
+                          (carry threaded on device, see refine_span)
+          writer thread:  PNG encode of span k-1
+
+        Peak memory is a few spans, not the video: a 200-frame 1080p clip
+        that could not fit HBM/host RAM as one (T, Hp, Wp, 3) tensor now
+        streams through in `span`-frame windows, and PNG encode rides
+        behind device compute instead of after it.
+
+        Returns refined (T, Hp, Wp, 3) when `return_output` (tests /
+        small runs); pass False for long videos to skip accumulation.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        content_names = list_frames(content_dir)
+        style_names = list_frames(style_dir)
+        assert len(content_names) == len(style_names), (
+            f"{len(content_names)} content vs {len(style_names)} style frames")
+        T = len(content_names)
+        H, W = read_image(content_names[0]).shape[:2]
         padder = Padder(H, W, divisor=32, mode="other")
-        preds = self._filter_all(content, style, padder)
-        refined = np.asarray(refine_sequence(self.local_variables,
-                                             jnp.asarray(preds),
-                                             dtype=self.dtype))
-        self._save_outputs(content, style, preds, refined, results_dir,
-                           fps, save_concat)
-        return refined
+        S = self.span
+        results_dir = Path(results_dir)
+
+        spans = [(s0, min(T, s0 + S)) for s0 in range(0, T, S)]
+        reader = ThreadPoolExecutor(max_workers=1)
+        writer = ThreadPoolExecutor(max_workers=1)
+        pending = []
+        outputs = [] if return_output else None
+        try:
+            nxt = reader.submit(self._load_span, content_names, style_names,
+                                *spans[0], H, W)
+            carry = None
+            for k, (s0, s1) in enumerate(spans):
+                content, style = nxt.result()
+                if k + 1 < len(spans):
+                    nxt = reader.submit(self._load_span, content_names,
+                                        style_names, *spans[k + 1], H, W)
+                preds = self._filter_all(content, style, padder)
+                if carry is None:
+                    # O_0 = P_0; the recurrence starts at frame 1 with
+                    # carry (P_0, P_0) (neural_filter_and_refinement.py:99)
+                    p0 = jnp.asarray(preds[0])
+                    carry = (p0, p0)
+                    body, offset = preds[1:], 1
+                else:
+                    body, offset = preds, 0
+                nb = body.shape[0]
+                if nb:
+                    # pad to the span length: ONE compiled refine program
+                    # for every span including the tail
+                    body_p = (body if nb == S else np.concatenate(
+                        [body, np.repeat(body[-1:], S - nb, axis=0)]))
+                    carry, out = refine_span(
+                        self.local_variables, carry, jnp.asarray(body_p),
+                        jnp.int32(nb), dtype=self.dtype)
+                    refined = np.asarray(out)[:nb]
+                else:
+                    refined = body
+                if offset:
+                    refined = np.concatenate([preds[:1], refined], axis=0)
+                # bound writer backlog to ~2 spans of frames in flight
+                while len(pending) > 2:
+                    pending.pop(0).result()
+                pending.append(writer.submit(
+                    self._write_span, s0, content, style, preds, refined,
+                    results_dir, save_concat, (W, H)))
+                if return_output:
+                    outputs.append(refined)
+            for f in pending:
+                f.result()
+        finally:
+            reader.shutdown(wait=False)
+            writer.shutdown(wait=True)
+
+        dirs = ([results_dir / "neural_filter" / "concat"] if save_concat
+                else [])
+        dirs += [results_dir / "neural_filter" / "output",
+                 results_dir / "final" / "output"]
+        for d in dirs:
+            frames_to_video(d, d.parent / (d.name + ".mp4"), fps=fps)
+        return np.concatenate(outputs, axis=0) if return_output else None
 
     def run_multi(self, jobs, fps: int = 10, save_concat: bool = True):
         """Stage 2 over several same-resolution videos: UNet filtering is

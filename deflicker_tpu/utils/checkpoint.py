@@ -19,8 +19,15 @@ import jax
 
 
 def to_host(tree: Any) -> Any:
-    """Device pytree -> numpy pytree (leaves materialized on host)."""
-    return jax.tree_util.tree_map(np.asarray, tree)
+    """Device pytree -> numpy pytree (leaves materialized on host).
+
+    np.array(copy=True), NOT np.asarray: on the CPU backend np.asarray of a
+    jax.Array is ZERO-COPY (a view of the device buffer), and checkpoints
+    taken mid-fit alias buffers the next donated step call reuses — the
+    "checkpoint" then silently fills with garbage.  An owned copy is
+    mandatory for correctness on CPU and free on TPU (D2H already copies).
+    """
+    return jax.tree_util.tree_map(lambda x: np.array(x, copy=True), tree)
 
 
 def save_checkpoint(path: str | Path, tree: Any) -> Path:

@@ -131,6 +131,92 @@ def test_uneven_group_falls_back():
     assert len(results) == 3
 
 
+def test_resume_matches_uninterrupted():
+    """Checkpoint mid-fit (carry incl. RNG keys), resume, and land on the
+    final params of the uninterrupted fit (chunked-fit resume contract,
+    cli/pipeline._run_stage1_chunked).
+
+    Tolerance note: the restored STATE is bitwise (asserted via a device
+    copy at capture time elsewhere; np.array copies are exact), but the
+    continuation recompiles the step program and XLA CPU recompilation is
+    not bitwise stable — two compiles of identical HLO differ at float
+    noise, ~1e-4 params drift over a few Adam steps (measured; with the
+    persistent compile cache serving one binary the match IS exact).
+    """
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_config(iters=12), evaluate_every=6)
+    datas = [synthetic_data(seed=0), synthetic_data(seed=5)]
+    specs = build_specs(cfg, dual=False)
+    data_v = stack_video_data(datas)
+    params_v = init_models_multi(jax.random.key(0), specs, 2)
+    # pretrain mapping1 like production: an un-pretrained random mapping
+    # makes the rigidity Jacobian near-singular -> fp32-overflow-scale
+    # gradients whose threaded reductions are not even run-to-run
+    # deterministic (observed nu ~1e29); bitwise resume only makes sense
+    # in the well-conditioned regime production actually runs in
+    params_v["mapping1"] = pretrain_mapping_multi(
+        params_v["mapping1"], specs.mapping1, jax.random.key(8), 2,
+        datas[0].num_frames, *datas[0].res, cfg.uv_mapping_scale,
+        pretrain_iters=3)
+    key = jax.random.key(42)
+
+    saved = {}
+
+    def ckpt_cb(iteration, carry):
+        if iteration < cfg.iters_num and "carry" not in saved:
+            saved["iteration"] = iteration
+            # owned copies: np.asarray is zero-copy on CPU and the next
+            # donated step call would reuse these buffers (see
+            # utils.checkpoint.to_host)
+            saved["carry"] = jax.tree_util.tree_map(
+                lambda x: np.array(x, copy=True), carry[:2])
+            saved["key_data"] = np.array(jax.random.key_data(carry[2]),
+                                         copy=True)
+
+    full = fit_atlas_multi(
+        jax.tree_util.tree_map(lambda x: x.copy(), params_v),
+        specs, data_v, cfg, key, checkpoint_callback=ckpt_cb)
+    assert saved["iteration"] == 7      # eval at last=6, resume point i=7
+
+    p_v, o_v = jax.tree_util.tree_map(jax.numpy.asarray, saved["carry"])
+    keys = jax.random.wrap_key_data(jax.numpy.asarray(saved["key_data"]))
+    resumed = fit_atlas_multi(p_v, specs, data_v, cfg, key,
+                              start_iteration=saved["iteration"],
+                              opt_state_v=o_v, keys=keys)
+    for v in range(2):
+        assert _max_leaf_diff(full[v].params, resumed[v].params) < 5e-3
+        # same sample stream -> the logged loss points line up closely
+        assert resumed[v].logs[-1]["total"] == pytest.approx(
+            full[v].logs[-1]["total"], rel=1e-2)
+
+
+def test_eval_cadence_matches_fit_atlas():
+    """Both fit paths fire eval at the same iterations — including an eval
+    point landing on the final iteration (reference cadence:
+    stage1_neural_atlas.py:246-251)."""
+    import dataclasses
+
+    for iters, every in ((9, 4), (9, 8)):
+        cfg = dataclasses.replace(tiny_config(iters=iters),
+                                  evaluate_every=every)
+        data = synthetic_data(seed=0)
+        specs = build_specs(cfg, dual=False)
+
+        fired_single = []
+        fit_atlas(init_models(jax.random.key(0), specs), specs, data, cfg,
+                  jax.random.key(1),
+                  eval_callback=lambda i, p, o: fired_single.append(i))
+
+        fired_multi = []
+        fit_atlas_multi(init_models_multi(jax.random.key(0), specs, 1),
+                        specs, stack_video_data([data]), cfg,
+                        jax.random.key(1),
+                        eval_callback=lambda i, v, p, o: fired_multi.append(i))
+        assert fired_single == fired_multi, (iters, every)
+        assert fired_single, (iters, every)
+
+
 def test_pretrain_multi_matches_single():
     from deflicker_tpu.atlas.engine import pretrain_mapping
 

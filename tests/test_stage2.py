@@ -142,6 +142,67 @@ class TestFilterEngine:
             single = np.asarray(refine_sequence(lvars, preds_v[v]))
             np.testing.assert_allclose(multi[v], single, atol=1e-5)
 
+    def test_refine_span_streams_match_full_scan(self):
+        """Span-chunked refinement (carry threaded across calls, padded
+        tail span, n_valid freeze) == the whole-video scan."""
+        from deflicker_tpu.filter.engine import refine_sequence, refine_span
+        from deflicker_tpu.models.refine import transformnet_init
+
+        lvars = transformnet_init(jax.random.key(0))
+        T, S = 7, 3
+        preds = np.random.default_rng(4).uniform(
+            0, 1, (T, 32, 32, 3)).astype(np.float32)
+        want = np.asarray(refine_sequence(lvars, jnp.asarray(preds)))
+
+        p0 = jnp.asarray(preds[0])
+        carry = (p0, p0)
+        got = [preds[:1]]
+        body = preds[1:]
+        for s0 in range(0, body.shape[0], S):
+            chunk = body[s0:s0 + S]
+            nb = chunk.shape[0]
+            if nb != S:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], S - nb, axis=0)])
+            carry, out = refine_span(lvars, carry, jnp.asarray(chunk),
+                                     jnp.int32(nb))
+            got.append(np.asarray(out)[:nb])
+        np.testing.assert_allclose(np.concatenate(got), want, atol=1e-5)
+
+    def test_streaming_run_matches_small_span(self, tmp_path):
+        """engine.run with a tiny span (forcing several reader/compute/
+        writer handoffs and a padded tail) == one-span run, artifacts
+        complete and identical."""
+        import cv2
+
+        from deflicker_tpu.filter.engine import load_filter_engine
+
+        rng = np.random.default_rng(5)
+        cdir, sdir = tmp_path / "vid", tmp_path / "style"
+        cdir.mkdir(), sdir.mkdir()
+        T = 7
+        for t in range(T):
+            cv2.imwrite(str(cdir / f"{t:05d}.png"),
+                        rng.uniform(0, 255, (40, 52, 3)).astype(np.uint8))
+            cv2.imwrite(str(sdir / f"{t:05d}.png"),
+                        rng.uniform(0, 255, (40, 52, 3)).astype(np.uint8))
+
+        big = load_filter_engine(None, None)        # span 32 >= T: one span
+        small = load_filter_engine(None, None)
+        small.span = 3                              # 3 spans, padded tail
+        r_big = big.run(cdir, sdir, tmp_path / "one", fps=10)
+        r_small = small.run(cdir, sdir, tmp_path / "many", fps=10)
+        np.testing.assert_allclose(r_small, r_big, atol=1e-5)
+        for root in ("one", "many"):
+            files = sorted((tmp_path / root / "final" / "output").glob("*.png"))
+            assert len(files) == T
+        for t in range(T):
+            a = cv2.imread(str(tmp_path / "one" / "final" / "output"
+                               / f"{t:05d}.png"))
+            b = cv2.imread(str(tmp_path / "many" / "final" / "output"
+                               / f"{t:05d}.png"))
+            np.testing.assert_array_equal(a, b)
+
     def test_run_multi_matches_run(self, tmp_path):
         """FilterEngine.run_multi over 2 videos of different length ==
         engine.run on each, artifacts included."""
