@@ -88,8 +88,13 @@ def main():
         overrides["fit_precision"] = os.environ["BENCH_PRECISION"]
     if os.environ.get("BENCH_PALLAS") == "1":
         overrides["use_pallas_imlp"] = True
+    if os.environ.get("BENCH_TILE"):
+        overrides["pallas_tile"] = int(os.environ["BENCH_TILE"])
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
+    # BENCH_DUAL=1: the seg path's 4-network fit (benchmark configs 3/4 —
+    # all 10 loss terms incl. bootstrap; mask content doesn't affect speed)
+    dual = os.environ.get("BENCH_DUAL") == "1"
     source = "real"
     try:
         data = real_video_data(T, H, W)
@@ -98,13 +103,13 @@ def main():
     if data is None:
         source, data = "synthetic", synthetic_video_data(T, H, W)
     data = data.with_packed()        # production fit path packs its gathers
-    specs = build_specs(cfg, dual=False)
+    specs = build_specs(cfg, dual=dual)
     params = init_models(jax.random.key(0), specs)
     optimizer = optax.adam(cfg.learning_rate)
     opt_state = optimizer.init(params)
 
     loss_fn = make_loss_fn(specs, cfg, data, include_global=True,
-                           include_bootstrap=False)
+                           include_bootstrap=dual)
     step_fn = make_scan_step(loss_fn, optimizer, cfg.samples_batch, H, W, T)
 
     carry = (params, opt_state, jax.random.key(1))
@@ -126,12 +131,13 @@ def main():
     its = BENCH_ITERS / dt
     device = jax.devices()[0]
     print(json.dumps({
-        "metric": "atlas_fit_iters_per_sec",
+        "metric": ("atlas_fit_iters_per_sec_dual" if dual
+                   else "atlas_fit_iters_per_sec"),
         "value": round(its, 2),
         "unit": "it/s",
         "vs_baseline": round(its / REFERENCE_A100_ITERS_PER_SEC, 2),
-        "config": f"{T}x{H}x{W}, batch {cfg.samples_batch}, single-atlas, "
-                  f"{source} video",
+        "config": f"{T}x{H}x{W}, batch {cfg.samples_batch}, "
+                  f"{'dual' if dual else 'single'}-atlas, {source} video",
         "device": f"{device.platform}:{device.device_kind}",
         "final_rgb_loss": final_rgb,
     }))

@@ -178,6 +178,13 @@ def bench_e2e(iters=None, down=4):
                        "t_stage2") if k in m},
         "fit_iters_per_sec": round(m["iters_per_sec"], 1),
         "stage1_psnr": round(m["psnr"], 2),
+        # final-output PSNR vs the input video — quoted next to E_warp so
+        # random-init stage-2 smoothing can't masquerade as deflickering
+        # quality (BASELINE.md quality-claim caveat)
+        "final_psnr": round(m["final_psnr"], 2)
+        if m.get("final_psnr") is not None else None,
+        "stage2_weights": "pretrained" if Path(
+            cfg.ckpt_filter or "").exists() else "random-init",
         "input_ewarp_x100": round(m["input_ewarp"] * 100, 3)
         if m.get("input_ewarp") is not None else None,
         "final_ewarp_x100": round(m["final_ewarp"] * 100, 3)

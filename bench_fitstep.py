@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Fit-step time attribution (VERDICT round-2 item 9).
+
+At 321 it/s the single-atlas step is ~3.1 ms with the fused-MLP kernels
+accounting for ~1.74 ms — this harness attributes the rest by ABLATION
+(the profiler path is unreliable through the remote 'axon' device): each
+variant is the production scan step with one stage removed, so the deltas
+between successive variants isolate sampling/gather, loss math, backward,
+and Adam.  Prints one JSON line with the breakdown in ms/iter.
+
+Variants (all lax.scan over N steps, readback barrier):
+  sample_gather   device RNG sample + packed row gather + reduce
+  forward         + coordinate variants + 3 MLP forwards + loss math
+  backward        + value_and_grad (no update)
+  sgd             + trivial update (params - lr*g): isolates tree-update cost
+  full            + optax.adam (the production step)
+"""
+
+import json
+import time
+
+import numpy as np
+
+from bench import T, H, W, real_video_data, synthetic_video_data
+
+N_STEPS = 500
+# warmup uses a full-length run (see loop below)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deflicker_tpu.atlas.engine import (build_specs, init_models,
+                                            make_loss_fn)
+    from deflicker_tpu.config import AtlasConfig
+
+    cfg = AtlasConfig()
+    try:
+        data = real_video_data(T, H, W)
+    except Exception:
+        data = synthetic_video_data(T, H, W)
+    data = data.with_packed()
+    specs = build_specs(cfg, dual=False)
+    params = init_models(jax.random.key(0), specs)
+    optimizer = optax.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+    loss_fn = make_loss_fn(specs, cfg, data, include_global=True,
+                           include_bootstrap=False)
+    B = cfg.samples_batch
+
+    def sample(key):
+        key, kj, ki, kf = jax.random.split(key, 4)
+        j = jax.random.randint(kj, (B,), 0, W)
+        i = jax.random.randint(ki, (B,), 0, H)
+        f = jax.random.randint(kf, (B,), 0, T)
+        return key, j, i, f
+
+    def step_sample_gather(carry, _, data):
+        params, opt_state, key = carry
+        key, j, i, f = sample(key)
+        g = data.packed[f, i, j]
+        return (params, opt_state, key), jnp.sum(g)
+
+    def step_forward(carry, _, data):
+        params, opt_state, key = carry
+        key, j, i, f = sample(key)
+        total, _ = loss_fn(params, data, j, i, f)
+        return (params, opt_state, key), total
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step_backward(carry, _, data):
+        params, opt_state, key = carry
+        key, j, i, f = sample(key)
+        (_, aux), grads = grad_fn(params, data, j, i, f)
+        # consume grads without an update (sum keeps them live)
+        probe = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
+        return (params, opt_state, key), aux["total"] + 0.0 * probe
+
+    def step_sgd(carry, _, data):
+        params, opt_state, key = carry
+        key, j, i, f = sample(key)
+        (_, aux), grads = grad_fn(params, data, j, i, f)
+        params = jax.tree_util.tree_map(lambda p, g: p - 1e-4 * g,
+                                        params, grads)
+        return (params, opt_state, key), aux["total"]
+
+    def step_full(carry, _, data):
+        params, opt_state, key = carry
+        key, j, i, f = sample(key)
+        (_, aux), grads = grad_fn(params, data, j, i, f)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, key), aux["total"]
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("fn", "n"))
+    def run(carry, data, fn, n):
+        return jax.lax.scan(lambda c, x: fn(c, x, data), carry, None,
+                            length=n)
+
+    results = {}
+    for name, fn in (("sample_gather", step_sample_gather),
+                     ("forward", step_forward),
+                     ("backward", step_backward),
+                     ("sgd", step_sgd),
+                     ("full", step_full)):
+        # warm with the SAME static scan length — a different length is a
+        # different executable, so the timed call would eat the compile
+        carry = (params, opt_state, jax.random.key(1))
+        carry, out = run(carry, data, fn, N_STEPS)
+        float(jnp.sum(out))                         # compile + warm barrier
+        t0 = time.perf_counter()
+        carry, out = run(carry, data, fn, N_STEPS)
+        float(jnp.sum(out))                         # readback barrier
+        dt = time.perf_counter() - t0
+        results[name] = round(dt / N_STEPS * 1e3, 4)   # ms per iteration
+
+    deltas = {
+        "sample_gather_ms": results["sample_gather"],
+        "fwd_math_ms": round(results["forward"] - results["sample_gather"], 4),
+        "bwd_ms": round(results["backward"] - results["forward"], 4),
+        "sgd_update_ms": round(results["sgd"] - results["backward"], 4),
+        "adam_extra_ms": round(results["full"] - results["sgd"], 4),
+    }
+    import jax as _j
+
+    dev = _j.devices()[0]
+    print(json.dumps({
+        "metric": "fit_step_breakdown_ms", "per_variant": results,
+        "deltas": deltas,
+        "its_per_sec_full": round(1e3 / results["full"], 1),
+        "config": f"{T}x{H}x{W}, batch {B}, single-atlas, default path",
+        "device": f"{dev.platform}:{dev.device_kind}"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -162,11 +162,11 @@ def make_loss_fn(specs: AtlasSpecs, cfg: AtlasConfig, data: VideoData,
     L = data.larger_dim
     dual = specs.dual
     tile = getattr(cfg, "pallas_tile", None)
-    if tile is None and specs.dual:
-        # the dual path adds the 8-layer alpha MLP, whose backward at tile
-        # 1536 overflows the 16 MB scoped VMEM budget (measured on v5e);
-        # 1536 stays the single-atlas default
-        tile = 1024
+    # tile 1536 fits BOTH paths since the backward kernel accumulates
+    # dW in its output blocks, stashes pre-concat activations only, and
+    # takes bf16 weights (round 3; the alpha-MLP backward used to
+    # overflow the 16 MB VMEM budget at 1536, forcing 1024 on dual —
+    # measured dual: 143.6 it/s @1536 vs 141.4 @1024 on v5e)
     apply_mlp = select_imlp_apply(cfg.use_pallas_imlp, cfg.fit_precision,
                                   tile)
     d = cfg.derivative_amount

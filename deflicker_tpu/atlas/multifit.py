@@ -152,7 +152,12 @@ def fit_atlas_multi(params_v: Params, specs: AtlasSpecs, data_v: VideoData,
     V = data_v.video.shape[0]
     T, H, W = data_v.video.shape[1:4]
     # the vmapped Pallas backward carries a bit more VMEM than the plain
-    # one — tile 1536 overflows the 16 MB scoped budget; cap at 1024
+    # one — tile 1536 overflowed the 16 MB scoped budget in round 2; the
+    # round-3 kernel (out-block dW accumulation, pre-concat stash, bf16
+    # weights) is ~3 MB lighter but the vmapped+dual combination is
+    # unverified at 1536 on hardware, so the cap stays until compile-
+    # checked (single-path dual measured 143.6 @1536 vs 141.4 @1024 —
+    # the cap costs ~2% at most)
     cfg = dataclasses.replace(
         cfg, pallas_tile=min(cfg.pallas_tile or 1024, 1024))
     if mesh is not None and (mesh.size <= 1 or V % mesh.size != 0):

@@ -427,6 +427,8 @@ def run_pipeline(cfg: PipelineConfig,
     ew = (f", E_warp {out['input_ewarp']*100:.3f} -> "
           f"{out['final_ewarp']*100:.3f} (x100)"
           if out.get("final_ewarp") is not None else "")
+    if out.get("final_psnr") is not None:
+        ew += f", final PSNR {out['final_psnr']:.2f} dB"
     print(f"[deflicker_tpu] {frames_dir.name}: {s1['num_frames']} frames in "
           f"{total:.1f}s ({out['frames_per_sec']:.2f} fps end-to-end), "
           f"stage-1 PSNR {s1['psnr']:.2f} dB, "

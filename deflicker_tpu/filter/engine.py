@@ -35,6 +35,13 @@ from ..models.unet import UNet
 from ..ops.pad import Padder
 
 
+@jax.jit
+def _to_u8(x: jax.Array) -> jax.Array:
+    """Device-side PNG quantization, bit-identical to write_image's host
+    conversion ((clip(x,0,1)*255).astype(uint8) — truncating)."""
+    return (jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("dtype", "mesh"))
 def filter_frames(variables: Dict, content: jax.Array, style: jax.Array,
                   dtype=jnp.float32, mesh=None) -> jax.Array:
@@ -48,7 +55,14 @@ def filter_frames(variables: Dict, content: jax.Array, style: jax.Array,
     from ..parallel import shard_constraint
 
     net = UNet(in_channels=6, out_channels=3, features=32, dtype=dtype)
-    x = jnp.concatenate([content, style], axis=-1).astype(dtype)
+    x = jnp.concatenate([content, style], axis=-1)
+    if x.dtype == jnp.uint8:
+        # frames ship to the device as uint8 (4x less H2D than f32 — the
+        # transfer, not the convs, bounds stage 2 on PCIe/tunnel hosts)
+        # and normalize to the [0,1] contract on device
+        x = x.astype(dtype) / jnp.asarray(255.0, dtype)
+    else:
+        x = x.astype(dtype)
     x = shard_constraint(x, mesh)
     out = net.apply(variables, x).astype(jnp.float32)
     return shard_constraint(out, mesh)
@@ -154,17 +168,29 @@ class FilterEngine:
             self.batch = ((batch + mesh.size - 1) // mesh.size) * mesh.size
 
     @staticmethod
-    def _load_span(content_names, style_names, s0, s1, H, W):
-        """Load frames [s0, s1); style resized to the content's size like
-        the reference (load_image(size=org_size), models/utils.py:600-624)."""
+    def _read_u8(path):
+        from PIL import Image
+
+        img = np.array(Image.open(str(path)))
+        if img.ndim == 2:
+            img = np.tile(img[:, :, None], (1, 1, 3))
+        return np.ascontiguousarray(img[..., :3])
+
+    @classmethod
+    def _load_span(cls, content_names, style_names, s0, s1, H, W):
+        """Load frames [s0, s1) as uint8 (PNGs are uint8 on disk; keeping
+        them so until the on-device /255 makes H2D 4x smaller).  Style is
+        resized to the content's size like the reference — which also
+        resizes the uint8 image before normalizing
+        (load_image(size=org_size), models/utils.py:600-624)."""
         import cv2
 
         n = s1 - s0
-        content = np.zeros((n, H, W, 3), np.float32)
-        style = np.zeros((n, H, W, 3), np.float32)
+        content = np.zeros((n, H, W, 3), np.uint8)
+        style = np.zeros((n, H, W, 3), np.uint8)
         for t in range(n):
-            content[t] = read_image(content_names[s0 + t])
-            s = read_image(style_names[s0 + t])
+            content[t] = cls._read_u8(content_names[s0 + t])
+            s = cls._read_u8(style_names[s0 + t])
             if s.shape[:2] != (H, W):
                 s = cv2.resize(s, (W, H), interpolation=cv2.INTER_LINEAR)
             style[t] = s
@@ -183,8 +209,9 @@ class FilterEngine:
 
     def _save_outputs(self, content, style, preds, refined, results_dir,
                       fps, save_concat):
-        """PNG + mp4 artifact set, resizing padded outputs back to the
-        original size (the reference's unpad-by-resize quirk)."""
+        """PNG + mp4 artifact set (all arrays uint8), resizing padded
+        outputs back to the original size (the reference's
+        unpad-by-resize quirk)."""
         import cv2
 
         results_dir = Path(results_dir)
@@ -205,8 +232,11 @@ class FilterEngine:
             frames_to_video(d, d.parent / (d.name + ".mp4"), fps=fps)
 
     def _filter_all(self, content: np.ndarray, style: np.ndarray,
-                    padder: Padder) -> np.ndarray:
-        """Batched UNet filtering of all frames; returns (T, Hp, Wp, 3).
+                    padder: Padder) -> jax.Array:
+        """Batched UNet filtering of all frames; returns a DEVICE-resident
+        (T, Hp, Wp, 3) f32 array (the refinement consumes it on device —
+        bouncing preds through the host would cost a D2H+H2D round trip
+        of the whole span).
 
         T is padded to a batch multiple (repeat the last frame) so every
         chunk — including the tail — has the same shape: exactly ONE XLA
@@ -219,15 +249,14 @@ class FilterEngine:
                 [content, np.repeat(content[-1:], T_pad - T, axis=0)], axis=0)
             style = np.concatenate(
                 [style, np.repeat(style[-1:], T_pad - T, axis=0)], axis=0)
-        preds = np.zeros((T_pad,) + padder.padded_hw + (3,), np.float32)
         content_p = padder.pad(jnp.asarray(content))
         style_p = padder.pad(jnp.asarray(style))
-        for s0 in range(0, T_pad, self.batch):
-            s1 = s0 + self.batch
-            preds[s0:s1] = np.asarray(filter_frames(
-                self.filter_variables, content_p[s0:s1], style_p[s0:s1],
-                dtype=self.dtype, mesh=self.mesh))
-        return preds[:T]
+        preds = [filter_frames(self.filter_variables, content_p[s0:s0 + self.batch],
+                               style_p[s0:s0 + self.batch],
+                               dtype=self.dtype, mesh=self.mesh)
+                 for s0 in range(0, T_pad, self.batch)]
+        out = preds[0] if len(preds) == 1 else jnp.concatenate(preds, axis=0)
+        return out[:T]
 
     def _write_span(self, s0, content, style, preds, refined, results_dir,
                     save_concat, size):
@@ -298,37 +327,41 @@ class FilterEngine:
                 if k + 1 < len(spans):
                     nxt = reader.submit(self._load_span, content_names,
                                         style_names, *spans[k + 1], H, W)
-                preds = self._filter_all(content, style, padder)
+                preds = self._filter_all(content, style, padder)   # device
                 if carry is None:
                     # O_0 = P_0; the recurrence starts at frame 1 with
                     # carry (P_0, P_0) (neural_filter_and_refinement.py:99)
-                    p0 = jnp.asarray(preds[0])
+                    p0 = preds[0]
                     carry = (p0, p0)
                     body, offset = preds[1:], 1
                 else:
                     body, offset = preds, 0
-                nb = body.shape[0]
+                nb = int(body.shape[0])
                 if nb:
                     # pad to the span length: ONE compiled refine program
                     # for every span including the tail
-                    body_p = (body if nb == S else np.concatenate(
-                        [body, np.repeat(body[-1:], S - nb, axis=0)]))
+                    body_p = (body if nb == S else jnp.concatenate(
+                        [body, jnp.repeat(body[-1:], S - nb, axis=0)]))
                     carry, out = refine_span(
-                        self.local_variables, carry, jnp.asarray(body_p),
+                        self.local_variables, carry, body_p,
                         jnp.int32(nb), dtype=self.dtype)
-                    refined = np.asarray(out)[:nb]
+                    refined = out[:nb]
                 else:
                     refined = body
                 if offset:
-                    refined = np.concatenate([preds[:1], refined], axis=0)
+                    refined = jnp.concatenate([preds[:1], refined], axis=0)
+                # D2H as uint8 — write_image's exact clip*255 truncation,
+                # applied on device: 4x less transfer than f32 frames
+                preds_u8 = np.asarray(_to_u8(preds))
+                refined_u8 = np.asarray(_to_u8(refined))
                 # bound writer backlog to ~2 spans of frames in flight
                 while len(pending) > 2:
                     pending.pop(0).result()
                 pending.append(writer.submit(
-                    self._write_span, s0, content, style, preds, refined,
-                    results_dir, save_concat, (W, H)))
+                    self._write_span, s0, content, style, preds_u8,
+                    refined_u8, results_dir, save_concat, (W, H)))
                 if return_output:
-                    outputs.append(refined)
+                    outputs.append(np.asarray(refined))
             for f in pending:
                 f.result()
         finally:
@@ -361,25 +394,27 @@ class FilterEngine:
                              f"got {shapes} (group by shape first)")
         H, W = shapes.pop()
         padder = Padder(H, W, divisor=32, mode="other")
-        preds = [self._filter_all(c, s, padder) for c, s in vids]
+        preds = [self._filter_all(c, s, padder) for c, s in vids]  # device
 
         T_max = max(p.shape[0] for p in preds)
-        preds_v = np.stack([
-            np.concatenate([p, np.repeat(p[-1:], T_max - p.shape[0], axis=0)])
+        preds_v = jnp.stack([
+            jnp.concatenate([p, jnp.repeat(p[-1:], T_max - p.shape[0],
+                                           axis=0)])
             if p.shape[0] != T_max else p for p in preds])
         mesh = (self.mesh if self.mesh is not None
                 and len(jobs) % self.mesh.size == 0 else None)
-        refined_v = np.asarray(refine_sequence_multi(
-            self.local_variables, jnp.asarray(preds_v), dtype=self.dtype,
-            mesh=mesh))
+        refined_v = refine_sequence_multi(
+            self.local_variables, preds_v, dtype=self.dtype, mesh=mesh)
 
         out = []
         for v, ((content, style), (_, _, results_dir)) in enumerate(
                 zip(vids, jobs)):
             T = content.shape[0]
-            self._save_outputs(content, style, preds[v], refined_v[v, :T],
+            self._save_outputs(content, style,
+                               np.asarray(_to_u8(preds[v])),
+                               np.asarray(_to_u8(refined_v[v, :T])),
                                results_dir, fps, save_concat)
-            out.append(refined_v[v, :T])
+            out.append(np.asarray(refined_v[v, :T]))
         return out
 
 

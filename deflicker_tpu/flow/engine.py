@@ -81,6 +81,13 @@ class RAFTFlow:
             B_pad = ((B + self.mesh.size - 1) // self.mesh.size) * self.mesh.size
             im1 = np.concatenate([im1, np.repeat(im1[-1:], B_pad - B, 0)], 0)
             im2 = np.concatenate([im2, np.repeat(im2[-1:], B_pad - B, 0)], 0)
+        if self.dtype == jnp.bfloat16:
+            # production path: frames originate as uint8 PNGs and the
+            # INTER_AREA-resize fractional parts are below bf16 conv
+            # noise — uploading uint8 quarters the H2D bytes (the frame
+            # upload, not compute, bounds flow wall on PCIe/tunnel hosts)
+            im1 = np.clip(np.round(im1), 0, 255).astype(np.uint8)
+            im2 = np.clip(np.round(im2), 0, 255).astype(np.uint8)
         padder = Padder(H, W, divisor=8, mode="sintel")
         x1 = padder.pad(jnp.asarray(im1))
         x2 = padder.pad(jnp.asarray(im2))

@@ -4,13 +4,14 @@ The reference ships the recipe as dead code
 (src/models/utils.py:532-572 `detect_occlusion` and flow_warping); this is a
 live, tested implementation:
 
-  E_warp(t) = mean over non-occluded pixels of || I_t - warp(I_{t+1}; F_bw) ||^2
+  E_warp(t) = mean over non-occluded pixels of || I_t - warp(I_{t+1}; F_fw) ||^2
 
-where F_bw is the backward flow (t+1 -> t is warped into frame t using the
-flow from t to t+1's inverse; in the reference convention `fw_flow` maps
-frame1->frame2 and `bw_flow` maps frame2->frame1, and frame2 is warped to
-frame1 by bw... see occlusion_mask docstring), and occlusion combines the
-forward-backward check with a motion-boundary mask.
+Convention (matches the code exactly): `fw_flow` maps frame t -> t+1 and
+`bw_flow` maps t+1 -> t.  Sampling frame t+1 at p + fw_flow(p) produces
+frame t+1 resampled onto frame t's grid — that is what `warp(...; F_fw)`
+means here and what `warp_error` computes; `bw_flow` is used only by the
+forward-backward occlusion check.  Occlusion combines that check with a
+motion-boundary mask.
 """
 
 from __future__ import annotations

@@ -373,11 +373,10 @@ def corr_lookup_online(fmap1: jax.Array, fmap2_pyramid: Sequence[jax.Array],
     pad = (-N) % chunk
     n_chunks = (N + pad) // chunk
 
-    outs = []
-    for b in range(B):
-        f1 = fmap1[b].reshape(N, D)
-        cx = coords[b, ..., 0].reshape(N)
-        cy = coords[b, ..., 1].reshape(N)
+    def per_pair(f1, cx, cy, *pyr_b):
+        """One batch element: (N, D) features + (N,) coords + per-level
+        volumes.  vmapped over B below — one chunk graph total, where a
+        Python loop over B would unroll B copies of it."""
         if pad:
             f1 = jnp.pad(f1, ((0, pad), (0, 0)))
             cx = jnp.pad(cx, (0, pad))
@@ -385,7 +384,6 @@ def corr_lookup_online(fmap1: jax.Array, fmap2_pyramid: Sequence[jax.Array],
         f1c = f1.reshape(n_chunks, chunk, D)
         cxc = cx.reshape(n_chunks, chunk)
         cyc = cy.reshape(n_chunks, chunk)
-        pyr_b = [lvl[b] for lvl in fmap2_pyramid]
 
         def one_chunk(args):
             f1_, cx_, cy_ = args
@@ -400,9 +398,12 @@ def corr_lookup_online(fmap1: jax.Array, fmap2_pyramid: Sequence[jax.Array],
             return jnp.concatenate(lvls, axis=-1)
 
         corr = jax.lax.map(one_chunk, (f1c, cxc, cyc))
-        corr = corr.reshape(n_chunks * chunk, -1)[:N]
-        outs.append(corr.reshape(H, W, -1))
-    return jnp.stack(outs, axis=0)
+        return corr.reshape(n_chunks * chunk, -1)[:N].reshape(H, W, -1)
+
+    return jax.vmap(per_pair)(fmap1.reshape(B, N, D),
+                              coords[..., 0].reshape(B, N),
+                              coords[..., 1].reshape(B, N),
+                              *fmap2_pyramid)
 
 
 # ---------------------------------------------------------------------------

@@ -90,37 +90,41 @@ def _fwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
 
 
 def _bwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
-    """refs = [x_ref, W0, b0, ..., g_ref]  +  outputs [dx_ref, dW0, db0, ...]
-    + scratch accumulators [aW0, ab0, ...].
+    """refs = [x_ref, W0, b0, ..., g_ref]  +  outputs [dx_ref, dW0, db0, ...].
 
-    Recomputes the forward for the tile, then reverse-accumulates.  The
-    sequential TPU grid makes VMEM-scratch accumulation across tiles safe.
+    Recomputes the forward for the tile, then reverse-accumulates.  dW/db
+    accumulate DIRECTLY in the output blocks (constant index map -> the
+    block stays VMEM-resident across the sequential TPU grid; a separate
+    scratch copy would double that footprint).  The stash holds each
+    layer's post-relu PRE-concat activation — layer 0's input is `x`
+    itself and skip concats are rebuilt from the resident `x`, so neither
+    is stored twice.  These three cuts (~2.5-3 MB on the 8-layer MLPs)
+    are what let the dual-atlas fit run batch tile 1536 inside the 16 MB
+    VMEM budget (round-2 capped it at 1024).
     """
     n_in = 2 + 2 * n_layers                 # x, (W, b)*, g
     x_ref = refs[0]
     g_ref = refs[n_in - 1]
     outs = refs[n_in:n_in + 1 + 2 * n_layers]
     dx_ref = outs[0]
-    accs = refs[n_in + 1 + 2 * n_layers:]
 
     tile = pl.program_id(0)
     is_first = tile == 0
-    is_last = tile == pl.num_programs(0) - 1
 
     x = x_ref[...]
-    # forward, stashing each layer's INPUT (post-relu, post-concat) in the
-    # compute dtype: the stash only feeds bf16 dW matmuls and sign-exact
-    # relu masks, and halving it lets bigger batch tiles fit VMEM
+    xc = x.astype(cdt)
+    # forward, stashing post-relu/pre-concat activations in the compute
+    # dtype (feeds bf16 dW matmuls + sign-exact relu masks only)
     h = x
-    layer_inputs = []
+    stash = [None] * n_layers               # layer 0 reuses x
     for i in range(n_layers):
         W = refs[1 + 2 * i][...]
         b = refs[2 + 2 * i][...]
         if i > 0:
             h = jnp.maximum(h, 0.0)
+            stash[i] = h.astype(cdt)
         if i in spec.skip_layers:
             h = jnp.concatenate([h, x], axis=-1)
-        layer_inputs.append(h.astype(cdt))
         h = jnp.dot(h.astype(cdt), W.astype(cdt),
                     preferred_element_type=jnp.float32,
                     precision=_prec_for(cdt)) + b
@@ -129,7 +133,12 @@ def _bwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
     g = g_ref[...]
     dx = jnp.zeros_like(x)
     for i in reversed(range(n_layers)):
-        a_in = layer_inputs[i]
+        if i == 0:
+            a_in = xc
+        elif i in spec.skip_layers:
+            a_in = jnp.concatenate([stash[i], xc], axis=-1)
+        else:
+            a_in = stash[i]
         dW = jnp.dot(a_in.T.astype(cdt), g.astype(cdt),
                      preferred_element_type=jnp.float32,
                      precision=_prec_for(cdt))
@@ -140,17 +149,16 @@ def _bwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
                     precision=_prec_for(cdt))
         if i in spec.skip_layers:
             # drop the skip branch's gradient (stop_gradient semantics)
-            g = g[:, :a_in.shape[1] - x.shape[1]]
+            g = g[:, :stash[i].shape[1]]
         if i > 0:
-            # relu mask wrt the PRE-relu activation: a_in's first block is
-            # post-relu, so mask = a_in > 0 on that block (f32 compare —
-            # Mosaic lacks bf16 cmpf on this target; sign is cast-exact)
-            g = g * (layer_inputs[i][:, :g.shape[1]].astype(jnp.float32)
-                     > 0.0)
+            # relu mask wrt the PRE-relu activation: the stash is
+            # post-relu, so mask = stash > 0 (f32 compare — Mosaic lacks
+            # bf16 cmpf on this target; sign is cast-exact)
+            g = g * (stash[i].astype(jnp.float32) > 0.0)
         else:
             dx = g
 
-        aW, ab = accs[2 * i], accs[2 * i + 1]
+        aW, ab = outs[1 + 2 * i], outs[2 + 2 * i]
 
         @pl.when(is_first)
         def _():
@@ -163,12 +171,6 @@ def _bwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
             ab[...] += db
 
     dx_ref[...] = dx
-
-    @pl.when(is_last)
-    def _():
-        for i in range(n_layers):
-            outs[1 + 2 * i][...] = accs[2 * i][...]
-            outs[2 + 2 * i][...] = accs[2 * i + 1][...]
 
 
 # ---------------------------------------------------------------------------
@@ -189,11 +191,22 @@ def _chain(packed: Tuple[jax.Array, ...], xe: jax.Array, spec: IMLPSpec,
     return _chain_fwd(packed, xe, spec, tile, interpret, compute_dtype)[0]
 
 
+def _cast_weights(packed, cdt):
+    """Ship W matrices to the kernel in the compute dtype (half the VMEM
+    and HBM traffic for weights under bf16); biases stay f32 — they add
+    into the f32 accumulator and would lose real precision in bf16."""
+    if cdt == jnp.float32:
+        return packed
+    return tuple(p.astype(cdt) if k % 2 == 0 else p
+                 for k, p in enumerate(packed))
+
+
 def _call_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32):
     n_layers = len(packed) // 2
     B, E = xe.shape
     O = packed[-2].shape[1]
     grid = (B // tile,)
+    packed = _cast_weights(packed, compute_dtype)
     in_specs = [pl.BlockSpec((tile, E), lambda t: (t, 0),
                              memory_space=pltpu.VMEM)]
     for k in range(n_layers):
@@ -226,11 +239,12 @@ def _chain_bwd(spec, tile, interpret, compute_dtype, res, g):
     B, E = xe.shape
     O = packed[-2].shape[1]
     grid = (B // tile,)
+    packed_k = _cast_weights(packed, compute_dtype)
 
     in_specs = [pl.BlockSpec((tile, E), lambda t: (t, 0),
                              memory_space=pltpu.VMEM)]
     for k in range(n_layers):
-        W, b = packed[2 * k], packed[2 * k + 1]
+        W, b = packed_k[2 * k], packed_k[2 * k + 1]
         in_specs.append(pl.BlockSpec(W.shape, lambda t: (0, 0),
                                      memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(b.shape, lambda t: (0, 0),
@@ -241,7 +255,6 @@ def _chain_bwd(spec, tile, interpret, compute_dtype, res, g):
     out_shapes = [jax.ShapeDtypeStruct((B, E), jnp.float32)]
     out_specs = [pl.BlockSpec((tile, E), lambda t: (t, 0),
                               memory_space=pltpu.VMEM)]
-    scratch = []
     for k in range(n_layers):
         W, b = packed[2 * k], packed[2 * k + 1]
         out_shapes.append(jax.ShapeDtypeStruct(W.shape, jnp.float32))
@@ -250,8 +263,6 @@ def _chain_bwd(spec, tile, interpret, compute_dtype, res, g):
         out_shapes.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
         out_specs.append(pl.BlockSpec(b.shape, lambda t: (0, 0),
                                       memory_space=pltpu.VMEM))
-        scratch.append(pltpu.VMEM(W.shape, jnp.float32))
-        scratch.append(pltpu.VMEM(b.shape, jnp.float32))
 
     kern = functools.partial(_bwd_kernel, spec, n_layers, compute_dtype)
     outs = pl.pallas_call(
@@ -260,9 +271,8 @@ def _chain_bwd(spec, tile, interpret, compute_dtype, res, g):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=scratch,
         interpret=interpret,
-    )(xe, *packed, g)
+    )(xe, *packed_k, g)
     dx = outs[0]
     dpacked = tuple(outs[1:])
     return dpacked, dx
