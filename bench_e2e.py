@@ -43,6 +43,18 @@ def _device_str():
     return f"{d.platform}:{d.device_kind}"
 
 
+def _stage2_weights_kind(cfg) -> str:
+    """What the engine will actually load (mirrors filter/engine._resolve_ckpt):
+    the reference's converted .pth, an in-framework-trained .ckpt sibling, or
+    random init — quality numbers are only meaningful for the first two."""
+    from deflicker_tpu.filter.engine import _resolve_ckpt
+
+    p = _resolve_ckpt(cfg.ckpt_filter)
+    if p is None:
+        return "random-init"
+    return "pretrained" if p.suffix in (".pth", ".pt") else "self-trained"
+
+
 # ---------------------------------------------------------------------------
 # RAFT device-bound throughput
 # ---------------------------------------------------------------------------
@@ -183,8 +195,7 @@ def bench_e2e(iters=None, down=4):
         # quality (BASELINE.md quality-claim caveat)
         "final_psnr": round(m["final_psnr"], 2)
         if m.get("final_psnr") is not None else None,
-        "stage2_weights": "pretrained" if Path(
-            cfg.ckpt_filter or "").exists() else "random-init",
+        "stage2_weights": _stage2_weights_kind(cfg),
         "input_ewarp_x100": round(m["input_ewarp"] * 100, 3)
         if m.get("input_ewarp") is not None else None,
         "final_ewarp_x100": round(m["final_ewarp"] * 100, 3)
@@ -585,11 +596,77 @@ def bench_batch(n_clips=3, iters=None, parallel=False):
     }})
 
 
+def bench_trained_stage2(n_clips=8, T=12, H=128, W=128,
+                         weights_dir="pretrained_weights"):
+    """Quality of the in-framework-trained stage-2 networks on HELD-OUT
+    synthetic clips (train/synth.py keys disjoint from the training stream):
+    PSNR to the clean ground truth and exact-flow temporal error for the
+    flickered input, the UNet output, and the refined output — trained
+    weights vs the random-init fallback.  The honest "does training work"
+    artifact (real-video quality additionally measured by `e2e` once the
+    trained checkpoints are in place)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deflicker_tpu.filter.engine import (filter_frames, load_filter_engine,
+                                             refine_sequence)
+    from deflicker_tpu.metrics import psnr
+    from deflicker_tpu.ops.sampling import flow_warp
+    from deflicker_tpu.train.synth import make_clip, warp_valid_mask
+
+    wdir = Path(weights_dir)
+
+    def temporal_err(x, flow):                      # x: (T,H,W,3) f32
+        errs = []
+        for t in range(1, x.shape[0]):
+            w = flow_warp(x[t - 1], flow[t])
+            m = warp_valid_mask(flow[t], H, W)
+            errs.append(float((jnp.abs(x[t] - w) * m).sum() / (m.sum() * 3)))
+        return float(np.mean(errs))
+
+    def run(engine_kind):
+        if engine_kind == "trained":
+            eng = load_filter_engine(wdir / "neural_filter.ckpt",
+                                     wdir / "local_refinement_net.ckpt")
+        else:
+            eng = load_filter_engine(None, None)    # random fallback
+        rows = []
+        for c in range(n_clips):
+            clip = jax.jit(lambda k: make_clip(k, T, H, W))(
+                jax.random.key(10_000 + c))         # held-out fold
+            P = filter_frames(eng.filter_variables, clip.inp, clip.atlas)
+            O = refine_sequence(eng.local_variables, P)
+            O = jnp.clip(O, 0.0, 1.0)
+            rows.append({
+                "psnr_input": float(psnr(np.asarray(clip.inp),
+                                         np.asarray(clip.clean))),
+                "psnr_filtered": float(psnr(np.asarray(jnp.clip(P, 0, 1)),
+                                            np.asarray(clip.clean))),
+                "psnr_refined": float(psnr(np.asarray(O),
+                                           np.asarray(clip.clean))),
+                "temp_input": temporal_err(clip.inp, clip.flow_bw),
+                "temp_refined": temporal_err(O, clip.flow_bw),
+                "temp_clean": temporal_err(clip.clean, clip.flow_bw),
+            })
+        return {k: round(float(np.mean([r[k] for r in rows])), 4)
+                for k in rows[0]}
+
+    out = {"heldout_clips": n_clips, "shape": f"{T}x{H}x{W}",
+           "device": _device_str()}
+    if (wdir / "neural_filter.ckpt").exists():
+        out["trained"] = run("trained")
+    out["random_init"] = run("random")
+    print(json.dumps(out, indent=2))
+    _merge({"trained_stage2": out})
+    return out
+
+
 BENCHES = {"raft": bench_raft, "stage2": bench_stage2, "e2e": bench_e2e,
            "torchref": bench_torchref, "jaxcpu": bench_jaxcpu,
            "corr": bench_corr, "hardening": bench_hardening,
            "batch": bench_batch,
-           "batch_parallel": lambda: bench_batch(parallel=True)}
+           "batch_parallel": lambda: bench_batch(parallel=True),
+           "trained_stage2": bench_trained_stage2}
 
 
 if __name__ == "__main__":

@@ -152,14 +152,14 @@ def fit_atlas_multi(params_v: Params, specs: AtlasSpecs, data_v: VideoData,
     V = data_v.video.shape[0]
     T, H, W = data_v.video.shape[1:4]
     # the vmapped Pallas backward carries a bit more VMEM than the plain
-    # one — tile 1536 overflowed the 16 MB scoped budget in round 2; the
-    # round-3 kernel (out-block dW accumulation, pre-concat stash, bf16
-    # weights) is ~3 MB lighter but the vmapped+dual combination is
-    # unverified at 1536 on hardware, so the cap stays until compile-
-    # checked (single-path dual measured 143.6 @1536 vs 141.4 @1024 —
-    # the cap costs ~2% at most)
+    # one.  Hardware-verified caps for the round-3 kernel (bench_multifit.py,
+    # v5e): single-atlas vmapped fits tile 1536 (338.1 vs 329.6 aggregate
+    # video-it/s at 1024, +2.6%); the vmapped DUAL backward still overflows
+    # the 16 MB scoped VMEM budget at 1536 (17.98 MB — the alpha-MLP bwd is
+    # binding) so it caps at 1024.
+    cap = 1024 if specs.dual else 1536
     cfg = dataclasses.replace(
-        cfg, pallas_tile=min(cfg.pallas_tile or 1024, 1024))
+        cfg, pallas_tile=min(cfg.pallas_tile or cap, cap))
     if mesh is not None and (mesh.size <= 1 or V % mesh.size != 0):
         # uneven group: still batched (vmap), just not mesh-sharded —
         # callers wanting full utilization should pad groups to a multiple

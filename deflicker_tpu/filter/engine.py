@@ -418,23 +418,41 @@ class FilterEngine:
         return out
 
 
+def _resolve_ckpt(path: Optional[str | Path]) -> Optional[Path]:
+    """The checkpoint to load: the given path, or its in-framework-trained
+    `.ckpt` sibling (cli.train_stage2 writes `neural_filter.ckpt` next to
+    where the reference's `neural_filter.pth` would live), else None."""
+    if not path:
+        return None
+    path = Path(path)
+    if path.exists():
+        return path
+    trained = path.with_suffix(".ckpt")
+    return trained if trained.exists() else None
+
+
 def load_filter_engine(ckpt_filter: Optional[str | Path],
                        ckpt_local: Optional[str | Path],
                        dtype=jnp.float32, batch: int = 8,
                        seed: int = 2023, mesh=None) -> FilterEngine:
-    """Build a FilterEngine from checkpoints; falls back to seeded random
-    init when a checkpoint path is missing (smoke runs without pretrained
-    weights — results are not meaningful, but the pipeline exercises)."""
+    """Build a FilterEngine from checkpoints.  A missing `.pth` falls back
+    to an in-framework-trained `.ckpt` sibling (cli.train_stage2), then to
+    seeded random init (smoke runs only — results are not meaningful, but
+    the pipeline exercises)."""
     from ..models.refine import transformnet_init
     from ..models.unet import unet_init
     from .convert import load_stage2_checkpoint
 
-    if ckpt_filter and Path(ckpt_filter).exists():
-        fvars = load_stage2_checkpoint(ckpt_filter)
-    else:
-        fvars = unet_init(jax.random.key(seed))
-    if ckpt_local and Path(ckpt_local).exists():
-        lvars = load_stage2_checkpoint(ckpt_local)
-    else:
-        lvars = transformnet_init(jax.random.key(seed + 1))
+    fpath = _resolve_ckpt(ckpt_filter)
+    lpath = _resolve_ckpt(ckpt_local)
+    if fpath is None or lpath is None:
+        # same loud-fallback pattern as the RAFT->Farneback notice
+        # (flow/engine.py): random stage-2 weights are smoke-test only
+        print("[deflicker_tpu] stage-2 checkpoint(s) missing "
+              f"({ckpt_filter} / {ckpt_local}) — using RANDOM weights "
+              "(smoke only; train real ones with cli.train_stage2)")
+    fvars = (load_stage2_checkpoint(fpath) if fpath
+             else unet_init(jax.random.key(seed)))
+    lvars = (load_stage2_checkpoint(lpath) if lpath
+             else transformnet_init(jax.random.key(seed + 1)))
     return FilterEngine(fvars, lvars, dtype=dtype, batch=batch, mesh=mesh)
