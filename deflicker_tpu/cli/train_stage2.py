@@ -32,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps_per_call", type=int, default=50)
+    p.add_argument("--texture_dir", type=str, default=None,
+                   help="optional directory of frames/images to mix in as "
+                        "real-image textures (exact-flow affine clips)")
+    p.add_argument("--texture_mix", type=float, default=0.5,
+                   help="probability of a real-image clip per step when "
+                        "--texture_dir is given")
     return p
 
 
@@ -47,8 +53,18 @@ def main(argv=None) -> int:
                       clip_len=args.clip_len, clip_batch=args.clip_batch,
                       learning_rate=args.lr,
                       temporal_weight=args.temporal_weight,
+                      texture_mix=args.texture_mix,
                       dtype=args.dtype, seed=args.seed,
                       steps_per_call=args.steps_per_call)
+    bank = None
+    if args.texture_dir:
+        from ..train.synth import load_texture_bank
+
+        bank = load_texture_bank(args.texture_dir, 2 * args.size,
+                                 2 * args.size)
+        print(f"texture bank: "
+              f"{0 if bank is None else bank.shape[0]} images from "
+              f"{args.texture_dir}")
     t0 = time.perf_counter()
     last = {"t": t0}
 

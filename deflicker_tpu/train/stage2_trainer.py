@@ -40,7 +40,7 @@ import optax
 from ..models.refine import TransformNet, transformnet_init
 from ..models.unet import UNet, unet_init
 from ..ops.sampling import flow_warp
-from .synth import make_clip, warp_valid_mask
+from .synth import make_clip, make_image_clip, warp_valid_mask
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,6 +55,7 @@ class TrainConfig:
     learning_rate: float = 2e-4
     grad_weight: float = 0.5     # filter gradient-L1 weight
     temporal_weight: float = 2.0  # refiner warp-loss weight
+    texture_mix: float = 0.5     # P(real-image clip) when a bank is given
     dtype: str = "bfloat16"      # conv compute dtype (params stay f32)
     steps_per_call: int = 50
     seed: int = 0
@@ -62,6 +63,31 @@ class TrainConfig:
     @property
     def jdtype(self):
         return jnp.dtype(self.dtype)
+
+
+def _make_clip_batch(key, bank, cfg: TrainConfig, B: int, T: int):
+    """B clips: procedural Fourier textures, or — with probability
+    cfg.texture_mix when a texture bank rides along — real-image textures
+    (synth.make_image_clip; same shapes, same exact flow).  `bank` is a
+    traced (N, th, tw, 3) array; pass a 1-texture dummy with texture_mix=0
+    to disable (both lax.cond branches compile either way)."""
+    k_pick, k_clips = jax.random.split(key)
+    keys = jax.random.split(k_clips, B)
+
+    def fourier(_):
+        return jax.vmap(lambda k: make_clip(k, T, cfg.height, cfg.width))(
+            keys)
+
+    def image(_):
+        def one(k):
+            k_idx, k_clip = jax.random.split(k)
+            idx = jax.random.randint(k_idx, (), 0, bank.shape[0])
+            return make_image_clip(k_clip, bank[idx], T, cfg.height,
+                                   cfg.width)
+        return jax.vmap(one)(keys)
+
+    use_image = jax.random.uniform(k_pick) < cfg.texture_mix
+    return jax.lax.cond(use_image, image, fourier, None)
 
 
 def _l1(a, b):
@@ -75,14 +101,13 @@ def _grad_l1(a, b):
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(0,))
-def _filter_chunk(carry, cfg: TrainConfig, n_steps: int):
+def _filter_chunk(carry, bank, cfg: TrainConfig, n_steps: int):
     """n_steps UNet train steps as one compiled scan."""
     net = UNet(in_channels=6, out_channels=3, features=32, dtype=cfg.jdtype)
     optimizer = optax.adam(cfg.learning_rate)
 
     def loss_fn(variables, key):
-        clips = jax.vmap(lambda k: make_clip(k, 1, cfg.height, cfg.width))(
-            jax.random.split(key, cfg.batch))
+        clips = _make_clip_batch(key, bank, cfg, cfg.batch, 1)
         inp = clips.inp[:, 0]
         atlas = clips.atlas[:, 0]
         clean = clips.clean[:, 0]
@@ -106,7 +131,7 @@ def _filter_chunk(carry, cfg: TrainConfig, n_steps: int):
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(0,))
-def _refiner_chunk(carry, filter_variables: Dict, cfg: TrainConfig,
+def _refiner_chunk(carry, filter_variables: Dict, bank, cfg: TrainConfig,
                    n_steps: int):
     """n_steps TransformNet train steps (UNet frozen) as one compiled scan."""
     fnet = UNet(in_channels=6, out_channels=3, features=32, dtype=cfg.jdtype)
@@ -115,8 +140,7 @@ def _refiner_chunk(carry, filter_variables: Dict, cfg: TrainConfig,
     B, T, H, W = cfg.clip_batch, cfg.clip_len, cfg.height, cfg.width
 
     def loss_fn(variables, key):
-        clips = jax.vmap(lambda k: make_clip(k, T, H, W))(
-            jax.random.split(key, B))
+        clips = _make_clip_batch(key, bank, cfg, B, T)
         x = jnp.concatenate([clips.inp, clips.atlas], axis=-1)
         x = x.reshape(B * T, H, W, 6).astype(cfg.jdtype)
         P = fnet.apply(filter_variables, x).astype(jnp.float32)
@@ -178,35 +202,53 @@ def _run(chunk_fn, carry, total_steps: int, per_call: int, name: str,
     return carry, logs
 
 
+def _prep_bank(cfg: TrainConfig, texture_bank):
+    """(bank array, effective cfg): a real bank rides as a traced arg; with
+    none, a 1-texture dummy + texture_mix=0 (the image branch never fires)."""
+    if texture_bank is None:
+        dummy = jnp.zeros((1, cfg.height + 64, cfg.width + 64, 3),
+                          jnp.float32)
+        return dummy, dataclasses.replace(cfg, texture_mix=0.0)
+    return jnp.asarray(texture_bank, jnp.float32), cfg
+
+
 def train_filter(cfg: TrainConfig, key: jax.Array,
-                 log_callback: Optional[LogCallback] = None):
-    """Train the UNet neural filter; returns (variables, logs)."""
+                 log_callback: Optional[LogCallback] = None,
+                 texture_bank=None):
+    """Train the UNet neural filter; returns (variables, logs).
+
+    `texture_bank`: optional (N, th, tw, 3) f32 image bank
+    (synth.load_texture_bank) mixed in with probability cfg.texture_mix."""
+    bank, cfg = _prep_bank(cfg, texture_bank)
     k_init, k_train = jax.random.split(key)
     variables = unet_init(k_init, hw=(cfg.height, cfg.width))
     opt_state = optax.adam(cfg.learning_rate).init(variables)
     carry = (variables, opt_state, k_train)
-    carry, logs = _run(lambda c, n: _filter_chunk(c, cfg, n), carry,
+    carry, logs = _run(lambda c, n: _filter_chunk(c, bank, cfg, n), carry,
                        cfg.filter_steps, cfg.steps_per_call, "filter",
                        log_callback)
     return carry[0], logs
 
 
 def train_refiner(cfg: TrainConfig, key: jax.Array, filter_variables: Dict,
-                  log_callback: Optional[LogCallback] = None):
+                  log_callback: Optional[LogCallback] = None,
+                  texture_bank=None):
     """Train the refinement net through the inference recurrence (UNet
     frozen); returns (variables, logs)."""
+    bank, cfg = _prep_bank(cfg, texture_bank)
     k_init, k_train = jax.random.split(key)
     variables = transformnet_init(k_init, hw=(cfg.height, cfg.width))
     opt_state = optax.adam(cfg.learning_rate).init(variables)
     carry = (variables, opt_state, k_train)
     carry, logs = _run(
-        lambda c, n: _refiner_chunk(c, filter_variables, cfg, n), carry,
-        cfg.refine_steps, cfg.steps_per_call, "refiner", log_callback)
+        lambda c, n: _refiner_chunk(c, filter_variables, bank, cfg, n),
+        carry, cfg.refine_steps, cfg.steps_per_call, "refiner", log_callback)
     return carry[0], logs
 
 
 def train_stage2(cfg: TrainConfig, out_dir,
-                 log_callback: Optional[LogCallback] = None):
+                 log_callback: Optional[LogCallback] = None,
+                 texture_bank=None):
     """Train both networks and save engine-loadable checkpoints.
 
     Writes `neural_filter.ckpt` and `local_refinement_net.ckpt` under
@@ -233,9 +275,10 @@ def train_stage2(cfg: TrainConfig, out_dir,
             log_callback(name, step, rec)
 
     try:
-        fvars, _ = train_filter(cfg, k_f, log)
+        fvars, _ = train_filter(cfg, k_f, log, texture_bank=texture_bank)
         fpath = save_checkpoint(out_dir / "neural_filter.ckpt", fvars)
-        lvars, _ = train_refiner(cfg, k_r, fvars, log)
+        lvars, _ = train_refiner(cfg, k_r, fvars, log,
+                                 texture_bank=texture_bank)
         lpath = save_checkpoint(out_dir / "local_refinement_net.ckpt", lvars)
     finally:
         scalars.close()

@@ -148,6 +148,103 @@ def make_clip(key: jax.Array, T: int, H: int, W: int,
     return Clip(clean, inp, atlas, flow_bw)
 
 
+def make_image_clip(key: jax.Array, tex: jax.Array, T: int, H: int, W: int,
+                    flicker_gain: float = 0.25, flicker_bias: float = 0.08,
+                    local_gain: float = 0.15, atlas_shift: float = 0.06,
+                    atlas_warp_px: float = 2.0) -> Clip:
+    """A clip whose texture is a real IMAGE instead of Fourier features —
+    same affine camera machinery, same exact flow, real image statistics.
+
+    `tex`: (Ht, Wt, 3) f32 in [0, 1], larger than (H, W) by a safe margin
+    (the trajectory keeps coordinates well inside; out-of-bounds sampling
+    would read zeros).  The flawed-atlas analog blurs the texture by a
+    down/up resize, adds a constant color shift and a static misaligning
+    displacement.  Use alongside `make_clip` to mix real-image content
+    into training (cli.train_stage2 --texture_dir).
+    """
+    from ..ops.sampling import bilinear_sample
+
+    Ht, Wt = tex.shape[0], tex.shape[1]
+    (k_cam, k_start, k_shift, k_warp, k_gain, k_bias,
+     k_field) = jax.random.split(key, 7)
+    M, off = _affine_trajectory(k_cam, T, H, W)
+    # recenter into the texture with a random start inside the margin;
+    # shrink a touch so rotation corners stay inside
+    margin = jnp.array([(Wt - W) / 2.0, (Ht - H) / 2.0])
+    start = (jnp.array([(Wt - W) / 2.0, (Ht - H) / 2.0])
+             + jax.random.uniform(k_start, (2,), minval=-0.5, maxval=0.5)
+             * margin * 0.5)
+    M = 0.92 * M
+    off = off + start[None]
+    grid = _pixel_grid(H, W)
+
+    def frame_coords(t):
+        return jnp.einsum("ij,hwj->hwi", M[t], grid) + off[t]
+
+    coords = jax.vmap(frame_coords)(jnp.arange(T))       # (T, H, W, 2)
+    clean = jax.vmap(lambda c: bilinear_sample(tex, c))(coords)
+
+    # flawed atlas: blurred texture + color shift + static misalignment
+    blur = jax.image.resize(
+        jax.image.resize(tex, (max(Ht // 6, 1), max(Wt // 6, 1), 3),
+                         "linear"), (Ht, Wt, 3), "linear")
+    shift = jax.random.uniform(k_shift, (3,), minval=-atlas_shift,
+                               maxval=atlas_shift)
+    wf, wp, wa = _texture_params(k_warp, 8, min_period=24.0, max_period=128.0)
+    disp = (_eval_texture(coords, wf, wp, wa) - 0.5)[..., :2] \
+        * (2.0 * atlas_warp_px)
+    atlas = jnp.clip(jax.vmap(lambda c: bilinear_sample(blur, c))(
+        coords + disp) + shift, 0.0, 1.0)
+
+    g = 1.0 + jax.random.uniform(k_gain, (T, 1, 1, 3), minval=-flicker_gain,
+                                 maxval=flicker_gain)
+    b = jax.random.uniform(k_bias, (T, 1, 1, 3), minval=-flicker_bias,
+                           maxval=flicker_bias)
+    field = jax.random.uniform(k_field, (T, 3, 4, 1), minval=-local_gain,
+                               maxval=local_gain)
+    field = 1.0 + jax.image.resize(field, (T, H, W, 1), "linear")
+    inp = jnp.clip(clean * g * field + b, 0.0, 1.0)
+
+    Minv = jnp.linalg.inv(M)
+
+    def bw(t):
+        u = coords[t]
+        p_prev = jnp.einsum("ij,hwj->hwi", Minv[t - 1], u - off[t - 1])
+        return p_prev - grid
+
+    flow_bw = jnp.concatenate(
+        [jnp.zeros((1, H, W, 2)),
+         jax.vmap(bw)(jnp.arange(1, T))], axis=0)
+    return Clip(clean, inp, atlas, flow_bw)
+
+
+def load_texture_bank(texture_dir, tex_h: int, tex_w: int,
+                      max_textures: int = 64) -> "np.ndarray | None":
+    """Host-side: load frames/images from a directory into a (N, th, tw, 3)
+    f32 bank for `make_image_clip` (random crops resized to a fixed texture
+    shape so the bank stacks).  Returns None if the directory has no images."""
+    from pathlib import Path
+
+    import cv2
+    import numpy as np
+
+    from ..io.media import list_frames, read_image
+
+    texture_dir = Path(texture_dir)
+    names = list_frames(texture_dir) if texture_dir.is_dir() else []
+    if not names:
+        return None
+    step = max(1, len(names) // max_textures)
+    bank = []
+    for p in names[::step][:max_textures]:
+        img = read_image(p).astype(np.float32)   # already RGB in [0, 1]
+        if img.shape[:2] != (tex_h, tex_w):
+            img = cv2.resize(img, (tex_w, tex_h),
+                             interpolation=cv2.INTER_AREA)
+        bank.append(img[..., :3])
+    return np.stack(bank)
+
+
 def warp_valid_mask(flow: jax.Array, H: int, W: int) -> jax.Array:
     """1.0 where p + flow(p) lands inside the image (flow_warp reads zeros
     outside — exclude those pixels from temporal losses).  flow: (..., H, W, 2)."""

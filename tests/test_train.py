@@ -68,6 +68,68 @@ class TestSynthClips:
         assert float(jnp.abs(a.clean - b.clean).mean()) > 0.05
 
 
+class TestImageClips:
+    """Real-image textures through the same affine/exact-flow machinery."""
+
+    @staticmethod
+    def _smooth_texture(n=96):
+        ys, xs = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n),
+                             indexing="ij")
+        tex = np.stack([0.5 + 0.4 * np.sin(6 * xs + 3 * ys),
+                        0.5 + 0.4 * np.cos(5 * ys),
+                        xs * ys], axis=-1).astype(np.float32)
+        return jnp.asarray(np.clip(tex, 0, 1))
+
+    def test_image_clip_flow_exact(self):
+        from deflicker_tpu.train.synth import make_image_clip
+
+        tex = self._smooth_texture()
+        clip = make_image_clip(jax.random.key(3), tex, 5, 32, 32)
+        for t in range(1, 5):
+            w = flow_warp(clip.clean[t - 1], clip.flow_bw[t])
+            m = warp_valid_mask(clip.flow_bw[t], 32, 32)
+            err = float((jnp.abs(w - clip.clean[t]) * m).sum()
+                        / (m.sum() * 3))
+            assert err < 0.01, f"frame {t}: err {err}"
+
+    def test_bank_mixing_branches(self):
+        """Both lax.cond branches (Fourier / image bank) produce identical
+        Clip shapes, including the disabled-dummy-bank path."""
+        from deflicker_tpu.train.stage2_trainer import (_make_clip_batch,
+                                                        _prep_bank)
+
+        tex = self._smooth_texture()
+        bank = jnp.stack([tex, tex * 0.7])
+        for mix in (0.0, 1.0):
+            cfg = TrainConfig(height=32, width=32, texture_mix=mix,
+                              dtype="float32")
+            out = jax.jit(lambda k: _make_clip_batch(k, bank, cfg, 2, 3))(
+                jax.random.key(1))
+            assert out.clean.shape == (2, 3, 32, 32, 3)
+            assert out.flow_bw.shape == (2, 3, 32, 32, 2)
+            assert float(out.clean.min()) >= 0.0
+        b, cfg0 = _prep_bank(TrainConfig(height=32, width=32,
+                                         dtype="float32"), None)
+        assert cfg0.texture_mix == 0.0
+        out = jax.jit(lambda k: _make_clip_batch(k, b, cfg0, 1, 2))(
+            jax.random.key(2))
+        assert out.clean.shape == (1, 2, 32, 32, 3)
+
+    def test_load_texture_bank(self, tmp_path):
+        import cv2
+
+        from deflicker_tpu.train.synth import load_texture_bank
+
+        rng = np.random.default_rng(0)
+        for t in range(3):
+            cv2.imwrite(str(tmp_path / f"{t:05d}.png"),
+                        rng.uniform(0, 255, (40, 50, 3)).astype(np.uint8))
+        bank = load_texture_bank(tmp_path, 64, 64)
+        assert bank.shape == (3, 64, 64, 3)
+        assert bank.dtype == np.float32 and bank.max() <= 1.0
+        assert load_texture_bank(tmp_path / "missing", 64, 64) is None
+
+
 CFG = TrainConfig(height=32, width=32, filter_steps=24, refine_steps=12,
                   batch=2, clip_len=4, clip_batch=1, dtype="float32",
                   steps_per_call=6)
