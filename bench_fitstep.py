@@ -137,5 +137,84 @@ def main():
         "device": f"{dev.platform}:{dev.device_kind}"}))
 
 
+def stash_ab():
+    """A/B the backward kernel's remat vs HBM-activation-stash modes on
+    the production full step (gradients are bit-identical by construction
+    — tests/test_pallas_imlp.py::test_stash_bwd_matches_remat; this
+    measures the compute-vs-bandwidth tradeoff on the real chip)."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deflicker_tpu.atlas.engine import (build_specs, init_models,
+                                            make_loss_fn)
+    from deflicker_tpu.config import AtlasConfig
+
+    cfg = AtlasConfig()
+    try:
+        data = real_video_data(T, H, W)
+    except Exception:
+        data = synthetic_video_data(T, H, W)
+    data = data.with_packed()
+    specs = build_specs(cfg, dual=False)
+    params0 = init_models(jax.random.key(0), specs)
+    optimizer = optax.adam(cfg.learning_rate)
+    B = cfg.samples_batch
+
+    results = {}
+    # stash mode streams 7 double-buffered (tile, 256) bf16 stash blocks
+    # through VMEM on the 8-layer atlas backward — tile 1536 overflows the
+    # 16 MB scoped budget (25.67 MB measured), so stash is A/B'd at
+    # smaller tiles against the remat default.
+    for mode, env, tile in (("remat_1536", "0", 1536),
+                            ("stash_1024", "1", 1024),
+                            ("stash_768", "1", 768)):
+        import dataclasses as _dc
+
+        os.environ["DEFLICKER_IMLP_STASH"] = env
+        cfg_t = _dc.replace(cfg, pallas_tile=tile)
+        loss_fn = make_loss_fn(specs, cfg_t, data, include_global=True,
+                               include_bootstrap=False)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def step(carry, _, data):
+            params, opt_state, key = carry
+            key, kj, ki, kf = jax.random.split(key, 4)
+            j = jax.random.randint(kj, (B,), 0, W)
+            i = jax.random.randint(ki, (B,), 0, H)
+            f = jax.random.randint(kf, (B,), 0, T)
+            (_, aux), grads = grad_fn(params, data, j, i, f)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), aux["total"]
+
+        run = jax.jit(lambda c, d: jax.lax.scan(
+            lambda cc, x: step(cc, x, d), c, None, length=N_STEPS))
+        carry = (params0, optimizer.init(params0), jax.random.key(1))
+        try:
+            carry, out = run(carry, data)
+            float(jnp.sum(out))                     # compile + warm
+            t0 = time.perf_counter()
+            carry, out = run(carry, data)
+            float(jnp.sum(out))                     # readback barrier
+            dt = time.perf_counter() - t0
+            results[mode] = round(N_STEPS / dt, 1)
+        except Exception as e:                      # e.g. scoped-VMEM OOM
+            results[mode] = f"failed: {str(e)[:120]}"
+        print(f"  {mode}: {results[mode]}", flush=True)
+    os.environ.pop("DEFLICKER_IMLP_STASH", None)
+
+    dev = __import__("jax").devices()[0]
+    print(json.dumps({
+        "metric": "fit_step_stash_ab_its_per_sec", "per_mode": results,
+        "config": f"{T}x{H}x{W}, batch {B}, single-atlas, bf16 tile default",
+        "device": f"{dev.platform}:{dev.device_kind}"}))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "stash_ab" in sys.argv[1:]:
+        stash_ab()
+    else:
+        main()

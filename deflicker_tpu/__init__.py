@@ -18,7 +18,7 @@ with batch-sharded atlas fitting, frame-sharded rendering/filtering and
 pair-sharded flow, relying on XLA SPMD collectives over ICI.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 
 def _enable_persistent_compile_cache() -> None:

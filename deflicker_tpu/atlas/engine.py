@@ -72,8 +72,12 @@ def select_imlp_apply(use_pallas: bool = False, precision: str = "highest",
         # 1536 measured fastest on v5e (2048 overflows the 16 MB budget)
         if tile is None:
             tile = int(os.environ.get("DEFLICKER_PALLAS_TILE", "1536"))
+        # DEFLICKER_IMLP_STASH=1: backward streams an HBM activation stash
+        # instead of rematerializing the forward (bit-identical grads;
+        # compute-vs-bandwidth experiment, bench_fitstep.py)
+        stash = os.environ.get("DEFLICKER_IMLP_STASH") == "1"
         return partial(imlp_apply_fused, tile=tile,
-                       compute_dtype=jnp.bfloat16)
+                       compute_dtype=jnp.bfloat16, stash_bwd=stash)
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
     return partial(imlp_apply, precision=prec)

@@ -88,7 +88,8 @@ def imlp_init(key: jax.Array, spec: IMLPSpec, dtype=jnp.float32):
 
 def imlp_apply_fused(params, x: jax.Array, spec: IMLPSpec,
                      tile: int = 512, interpret: bool = False,
-                     compute_dtype=jnp.float32) -> jax.Array:
+                     compute_dtype=jnp.float32,
+                     stash_bwd: bool = False) -> jax.Array:
     """IMLP forward via the Pallas fused linear-chain kernel
     (ops/pallas/imlp_kernel): positional encoding + stop-gradient skip
     handling here, the whole matmul chain in one VMEM-resident kernel.
@@ -101,7 +102,8 @@ def imlp_apply_fused(params, x: jax.Array, spec: IMLPSpec,
         x = positional_encoding(x, spec.positional_dim)
     h = fused_imlp_linear_chain(params, x, spec, tile=tile,
                                 interpret=interpret,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype,
+                                stash_bwd=stash_bwd)
     if spec.use_tanh:
         h = jnp.tanh(h)
     if spec.apply_softmax:

@@ -106,10 +106,6 @@ def _bwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
     x_ref = refs[0]
     g_ref = refs[n_in - 1]
     outs = refs[n_in:n_in + 1 + 2 * n_layers]
-    dx_ref = outs[0]
-
-    tile = pl.program_id(0)
-    is_first = tile == 0
 
     x = x_ref[...]
     xc = x.astype(cdt)
@@ -129,9 +125,17 @@ def _bwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
                     preferred_element_type=jnp.float32,
                     precision=_prec_for(cdt)) + b
 
-    # reverse pass
-    g = g_ref[...]
-    dx = jnp.zeros_like(x)
+    outs[0][...] = _reverse_pass(spec, n_layers, cdt, refs[1:], outs,
+                                 xc, stash, g_ref[...])
+
+
+def _reverse_pass(spec: IMLPSpec, n_layers: int, cdt, w_refs, outs,
+                  xc, stash, g):
+    """Shared reverse accumulation: given post-relu/pre-concat activations
+    `stash` (stash[0] unused — layer 0 reads `xc`), walk the chain backward
+    and accumulate dW/db into the output blocks."""
+    is_first = pl.program_id(0) == 0
+    dx = None
     for i in reversed(range(n_layers)):
         if i == 0:
             a_in = xc
@@ -143,7 +147,7 @@ def _bwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
                      preferred_element_type=jnp.float32,
                      precision=_prec_for(cdt))
         db = jnp.sum(g, axis=0, keepdims=True)
-        W = refs[1 + 2 * i][...]
+        W = w_refs[2 * i][...]
         g = jnp.dot(g.astype(cdt), W.T.astype(cdt),
                     preferred_element_type=jnp.float32,
                     precision=_prec_for(cdt))
@@ -170,7 +174,49 @@ def _bwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
             aW[...] += dW
             ab[...] += db
 
-    dx_ref[...] = dx
+    return dx
+
+
+def _fwd_kernel_stash(spec: IMLPSpec, n_layers: int, cdt, *refs):
+    """Forward that additionally WRITES the backward's activation stash to
+    HBM: refs = [x, (W, b)*n, out, s1..s_{n-1}].  The chain itself is
+    numerically identical to `_fwd_kernel` (f32 accumulators carry layer
+    to layer); the stash holds the same cdt cast the remat backward makes,
+    so stash-mode gradients match remat-mode gradients exactly."""
+    x_ref = refs[0]
+    out_ref = refs[1 + 2 * n_layers]
+    stash_refs = refs[2 + 2 * n_layers:]
+    x = x_ref[...]
+    h = x
+    for i in range(n_layers):
+        W = refs[1 + 2 * i][...]
+        b = refs[2 + 2 * i][...]
+        if i > 0:
+            h = jnp.maximum(h, 0.0)
+            stash_refs[i - 1][...] = h.astype(cdt)
+        if i in spec.skip_layers:
+            h = jnp.concatenate([h, x], axis=-1)
+        h = jnp.dot(h.astype(cdt), W.astype(cdt),
+                    preferred_element_type=jnp.float32,
+                    precision=_prec_for(cdt)) + b
+    out_ref[...] = h
+
+
+def _bwd_kernel_stash(spec: IMLPSpec, n_layers: int, cdt, *refs):
+    """Backward that READS the forward's stashed activations instead of
+    recomputing the chain (trades ~n_layers tile-matmuls of recompute for
+    streaming the stash back through VMEM): refs = [x, (W, b)*n, g,
+    s1..s_{n-1}] + outputs [dx, (dW, db)*n]."""
+    n_in = 2 + 2 * n_layers + (n_layers - 1)
+    x_ref = refs[0]
+    g_ref = refs[1 + 2 * n_layers]
+    stash_refs = refs[2 + 2 * n_layers:n_in]
+    outs = refs[n_in:n_in + 1 + 2 * n_layers]
+
+    xc = x_ref[...].astype(cdt)
+    stash = [None] + [r[...] for r in stash_refs]
+    outs[0][...] = _reverse_pass(spec, n_layers, cdt, refs[1:], outs,
+                                 xc, stash, g_ref[...])
 
 
 # ---------------------------------------------------------------------------
@@ -201,6 +247,25 @@ def _cast_weights(packed, cdt):
                  for k, p in enumerate(packed))
 
 
+def _weight_specs(packed_k, n_layers):
+    """Whole-array VMEM-resident blocks for the (W, b) pairs."""
+    specs = []
+    for k in range(n_layers):
+        W, b = packed_k[2 * k], packed_k[2 * k + 1]
+        specs.append(pl.BlockSpec(W.shape, lambda t: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        specs.append(pl.BlockSpec(b.shape, lambda t: (0, 0),
+                                  memory_space=pltpu.VMEM))
+    return specs
+
+
+def _stash_dims(packed) -> Sequence[int]:
+    """Width of the post-relu/pre-concat activation entering layer i
+    (i = 1..n-1) = the output width of layer i-1."""
+    return [packed[2 * (i - 1)].shape[1]
+            for i in range(1, len(packed) // 2)]
+
+
 def _call_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32):
     n_layers = len(packed) // 2
     B, E = xe.shape
@@ -209,12 +274,7 @@ def _call_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32):
     packed = _cast_weights(packed, compute_dtype)
     in_specs = [pl.BlockSpec((tile, E), lambda t: (t, 0),
                              memory_space=pltpu.VMEM)]
-    for k in range(n_layers):
-        W, b = packed[2 * k], packed[2 * k + 1]
-        in_specs.append(pl.BlockSpec(W.shape, lambda t: (0, 0),
-                                     memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec(b.shape, lambda t: (0, 0),
-                                     memory_space=pltpu.VMEM))
+    in_specs += _weight_specs(packed, n_layers)
     out_spec = pl.BlockSpec((tile, O), lambda t: (t, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_fwd_kernel, spec, n_layers, compute_dtype)
@@ -233,25 +293,10 @@ def _chain_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32):
     return y, (packed, xe)
 
 
-def _chain_bwd(spec, tile, interpret, compute_dtype, res, g):
-    packed, xe = res
-    n_layers = len(packed) // 2
-    B, E = xe.shape
-    O = packed[-2].shape[1]
-    grid = (B // tile,)
-    packed_k = _cast_weights(packed, compute_dtype)
-
-    in_specs = [pl.BlockSpec((tile, E), lambda t: (t, 0),
-                             memory_space=pltpu.VMEM)]
-    for k in range(n_layers):
-        W, b = packed_k[2 * k], packed_k[2 * k + 1]
-        in_specs.append(pl.BlockSpec(W.shape, lambda t: (0, 0),
-                                     memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec(b.shape, lambda t: (0, 0),
-                                     memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec((tile, O), lambda t: (t, 0),
-                                 memory_space=pltpu.VMEM))
-
+def _grad_out_specs(packed, n_layers, tile, B, E):
+    """Output shapes/specs for [dx, (dW, db)*n] — dW/db use a constant
+    index map so the accumulator block stays VMEM-resident across the
+    sequential grid."""
     out_shapes = [jax.ShapeDtypeStruct((B, E), jnp.float32)]
     out_specs = [pl.BlockSpec((tile, E), lambda t: (t, 0),
                               memory_space=pltpu.VMEM)]
@@ -263,6 +308,24 @@ def _chain_bwd(spec, tile, interpret, compute_dtype, res, g):
         out_shapes.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
         out_specs.append(pl.BlockSpec(b.shape, lambda t: (0, 0),
                                       memory_space=pltpu.VMEM))
+    return out_shapes, out_specs
+
+
+def _chain_bwd(spec, tile, interpret, compute_dtype, res, g):
+    packed, xe = res
+    n_layers = len(packed) // 2
+    B, E = xe.shape
+    O = packed[-2].shape[1]
+    grid = (B // tile,)
+    packed_k = _cast_weights(packed, compute_dtype)
+
+    in_specs = [pl.BlockSpec((tile, E), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += _weight_specs(packed_k, n_layers)
+    in_specs.append(pl.BlockSpec((tile, O), lambda t: (t, 0),
+                                 memory_space=pltpu.VMEM))
+
+    out_shapes, out_specs = _grad_out_specs(packed, n_layers, tile, B, E)
 
     kern = functools.partial(_bwd_kernel, spec, n_layers, compute_dtype)
     outs = pl.pallas_call(
@@ -281,18 +344,110 @@ def _chain_bwd(spec, tile, interpret, compute_dtype, res, g):
 _chain.defvjp(_chain_fwd, _chain_bwd)
 
 
+# --- stash mode: forward writes the activation stash, backward reads it ---
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _chain_stash(packed: Tuple[jax.Array, ...], xe: jax.Array,
+                 spec: IMLPSpec, tile: int, interpret: bool,
+                 compute_dtype=jnp.float32) -> jax.Array:
+    return _chain_stash_fwd(packed, xe, spec, tile, interpret,
+                            compute_dtype)[0]
+
+
+def _chain_stash_fwd(packed, xe, spec, tile, interpret,
+                     compute_dtype=jnp.float32):
+    n_layers = len(packed) // 2
+    B, E = xe.shape
+    O = packed[-2].shape[1]
+    grid = (B // tile,)
+    packed_k = _cast_weights(packed, compute_dtype)
+
+    in_specs = [pl.BlockSpec((tile, E), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += _weight_specs(packed_k, n_layers)
+
+    out_shapes = [jax.ShapeDtypeStruct((B, O), jnp.float32)]
+    out_specs = [pl.BlockSpec((tile, O), lambda t: (t, 0),
+                              memory_space=pltpu.VMEM)]
+    for d in _stash_dims(packed):
+        out_shapes.append(jax.ShapeDtypeStruct((B, d), compute_dtype))
+        out_specs.append(pl.BlockSpec((tile, d), lambda t: (t, 0),
+                                      memory_space=pltpu.VMEM))
+
+    kern = functools.partial(_fwd_kernel_stash, spec, n_layers,
+                             compute_dtype)
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xe, *packed_k)
+    return outs[0], (packed, xe, tuple(outs[1:]))
+
+
+def _chain_stash_bwd(spec, tile, interpret, compute_dtype, res, g):
+    packed, xe, stash = res
+    n_layers = len(packed) // 2
+    B, E = xe.shape
+    O = packed[-2].shape[1]
+    grid = (B // tile,)
+    packed_k = _cast_weights(packed, compute_dtype)
+
+    in_specs = [pl.BlockSpec((tile, E), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += _weight_specs(packed_k, n_layers)
+    in_specs.append(pl.BlockSpec((tile, O), lambda t: (t, 0),
+                                 memory_space=pltpu.VMEM))
+    for d in _stash_dims(packed):
+        in_specs.append(pl.BlockSpec((tile, d), lambda t: (t, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_shapes, out_specs = _grad_out_specs(packed, n_layers, tile, B, E)
+
+    kern = functools.partial(_bwd_kernel_stash, spec, n_layers,
+                             compute_dtype)
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xe, *packed_k, g, *stash)
+    dx = outs[0]
+    dpacked = tuple(outs[1:])
+    return dpacked, dx
+
+
+_chain_stash.defvjp(_chain_stash_fwd, _chain_stash_bwd)
+
+
 def fused_imlp_linear_chain(params, xe: jax.Array, spec: IMLPSpec,
                             tile: int = 512, interpret: bool = False,
-                            compute_dtype=jnp.float32) -> jax.Array:
+                            compute_dtype=jnp.float32,
+                            stash_bwd: bool = False) -> jax.Array:
     """Fused linear-relu(-skip) chain on PRE-ENCODED input xe (B, E).
 
     Returns the pre-tanh output (B, output_dim).  Pads the batch to a tile
     multiple internally.  Differentiable via the custom-VJP backward kernel.
+
+    stash_bwd=False (default): the backward kernel REMATERIALIZES the
+    forward per tile (zero extra HBM traffic, ~n_layers extra tile-matmuls
+    per tile).  stash_bwd=True: the forward kernel writes the per-layer
+    activation stash to HBM and the backward streams it back instead of
+    recomputing — gradients are bit-identical (the stash holds the same
+    cdt cast the remat makes).  Measured on v5e (bench_fitstep.py
+    stash_ab): the stash blocks' double-buffered VMEM forces tile <= 768
+    on the 8-layer atlas MLP (1536 needs 25.67 MB of the 16 MB scoped
+    budget), where it loses to remat at 1536 (314.8 vs 318.6 it/s) —
+    remat is the right default on this hardware.
     """
     B = xe.shape[0]
     Bp = _round_up(max(B, tile), tile)
     if Bp != B:
         xe = jnp.pad(xe, ((0, Bp - B), (0, 0)))
-    y = _chain(tuple(_pack(params)), xe, spec, tile, interpret,
-               compute_dtype)
+    fn = _chain_stash if stash_bwd else _chain
+    y = fn(tuple(_pack(params)), xe, spec, tile, interpret, compute_dtype)
     return y[:B]

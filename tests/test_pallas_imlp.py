@@ -68,6 +68,34 @@ def test_grads_match_xla(name):
                                    rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("name", list(SPECS))
+def test_stash_bwd_matches_remat(name):
+    """stash_bwd=True (HBM activation stash) must produce bit-identical
+    forward AND gradients to the default remat backward — the stash holds
+    exactly the cdt cast the remat recompute makes."""
+    spec = SPECS[name]
+    params = imlp_init(jax.random.key(3), spec)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (256, spec.input_dim)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(-1, 1, (256, spec.output_dim)).astype(np.float32))
+
+    def loss(stash_bwd):
+        def f(p, xx):
+            xe = _encoded(spec, xx)
+            y = jnp.tanh(fused_imlp_linear_chain(p, xe, spec, tile=128,
+                                                 interpret=True,
+                                                 stash_bwd=stash_bwd))
+            return jnp.mean((y - tgt) ** 2)
+        return f
+
+    (l_r, g_r) = jax.value_and_grad(loss(False), argnums=(0, 1))(params, x)
+    (l_s, g_s) = jax.value_and_grad(loss(True), argnums=(0, 1))(params, x)
+    assert float(l_s) == float(l_r)
+    for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_batch_padding():
     spec = SPECS["mapping"]
     params = imlp_init(jax.random.key(2), spec)
