@@ -212,9 +212,72 @@ def stash_ab():
         "device": f"{dev.platform}:{dev.device_kind}"}))
 
 
+V5E_BF16_PEAK = 197e12        # TPU v5e MXU peak, bf16 multiplies (FLOP/s)
+
+
+def sol(measured_its: float = 323.3, dual: bool = False):
+    """Speed-of-light analysis of the fit step — pure arithmetic, no device.
+
+    Counts the step's matmul FLOPs analytically from the IMLP layer shapes
+    (models/imlp.IMLPSpec.layer_dims) and the per-network row counts the
+    loss builds (engine.make_loss_fn: mapping x9 variants incl. global
+    rigidity, atlas x3 per mapping, alpha x5 on dual), including the Pallas
+    kernel's real work: rows padded to a tile multiple and the backward's
+    remat forward (fwd 1x + bwd [remat fwd + dW + dx] 3x = 4x forward
+    FLOPs; 3x is the algorithmic minimum).  Compares against the v5e bf16
+    MXU peak at the measured iteration rate.
+    """
+    from deflicker_tpu.atlas.engine import build_specs, select_imlp_apply
+    from deflicker_tpu.config import AtlasConfig
+
+    cfg = AtlasConfig()
+    specs = build_specs(cfg, dual=dual)
+    B = cfg.samples_batch
+    tile = 1536 if dual else 1792           # select_imlp_apply defaults
+
+    def pad(rows):
+        return ((max(rows, tile) + tile - 1) // tile) * tile
+
+    def fwd_flops(spec, rows):
+        macs = sum(fi * fo for fi, fo in spec.layer_dims())
+        return 2 * macs * pad(rows)
+
+    nets = {"mapping1": (specs.mapping1, 9 * B),
+            "atlas": (specs.atlas, (6 if dual else 3) * B)}
+    if dual:
+        nets["mapping2"] = (specs.mapping2, 9 * B)
+        nets["alpha"] = (specs.alpha, 5 * B)
+
+    fwd = {k: fwd_flops(s, r) for k, (s, r) in nets.items()}
+    total_fwd = sum(fwd.values())
+    device_flops = 4 * total_fwd            # fwd + remat-bwd kernel
+    useful_flops = 3 * total_fwd            # without the remat recompute
+
+    step_s = 1.0 / measured_its
+    print(json.dumps({
+        "metric": "fit_step_speed_of_light",
+        "config": f"batch {B}, {'dual' if dual else 'single'}-atlas, "
+                  f"tile {tile}, rows padded",
+        "fwd_gflops_per_net": {k: round(v / 1e9, 2) for k, v in fwd.items()},
+        "device_gflops_per_step": round(device_flops / 1e9, 1),
+        "useful_gflops_per_step": round(useful_flops / 1e9, 1),
+        "measured_its_per_sec": measured_its,
+        "achieved_tflops": round(device_flops / step_s / 1e12, 1),
+        "mxu_utilization_pct": round(
+            100 * device_flops / step_s / V5E_BF16_PEAK, 1),
+        "useful_utilization_pct": round(
+            100 * useful_flops / step_s / V5E_BF16_PEAK, 1),
+        "sol_its_per_sec_at_peak": round(V5E_BF16_PEAK / device_flops, 1),
+    }))
+
+
 if __name__ == "__main__":
     import sys
     if "stash_ab" in sys.argv[1:]:
         stash_ab()
+    elif "sol" in sys.argv[1:]:
+        its = [float(a) for a in sys.argv[1:] if a.replace(".", "").isdigit()]
+        sol(measured_its=its[0] if its else 323.3,
+            dual="dual" in sys.argv[1:])
     else:
         main()

@@ -46,7 +46,7 @@ Params = Dict[str, list]
 
 
 def select_imlp_apply(use_pallas: bool = False, precision: str = "highest",
-                      tile: "int | None" = None):
+                      tile: "int | None" = None, dual: bool = False):
     """Pick the IMLP forward path.
 
     Default: the XLA path — measured FASTER than the Pallas fused kernel at
@@ -68,10 +68,14 @@ def select_imlp_apply(use_pallas: bool = False, precision: str = "highest",
             and os.environ.get("DEFLICKER_NO_PALLAS") != "1"):
         from ..models.imlp import imlp_apply_fused
 
-        # bf16 multiplies + bf16 backward stash -> bigger tiles fit VMEM;
-        # 1536 measured fastest on v5e (2048 overflows the 16 MB budget)
+        # bf16 multiplies + bf16 backward stash -> bigger tiles fit the
+        # 16 MB scoped-VMEM budget.  Hardware-verified ceilings (v5e,
+        # bench.py BENCH_TILE probes): single-atlas 1792 (323.3 it/s;
+        # 2048 overflows by 1.63 MB in the mapping backward), dual 1536
+        # (the 8-layer alpha-MLP backward is binding)
         if tile is None:
-            tile = int(os.environ.get("DEFLICKER_PALLAS_TILE", "1536"))
+            default = "1536" if dual else "1792"
+            tile = int(os.environ.get("DEFLICKER_PALLAS_TILE", default))
         # DEFLICKER_IMLP_STASH=1: backward streams an HBM activation stash
         # instead of rematerializing the forward (bit-identical grads;
         # compute-vs-bandwidth experiment, bench_fitstep.py)
@@ -166,13 +170,12 @@ def make_loss_fn(specs: AtlasSpecs, cfg: AtlasConfig, data: VideoData,
     L = data.larger_dim
     dual = specs.dual
     tile = getattr(cfg, "pallas_tile", None)
-    # tile 1536 fits BOTH paths since the backward kernel accumulates
-    # dW in its output blocks, stashes pre-concat activations only, and
-    # takes bf16 weights (round 3; the alpha-MLP backward used to
-    # overflow the 16 MB VMEM budget at 1536, forcing 1024 on dual —
-    # measured dual: 143.6 it/s @1536 vs 141.4 @1024 on v5e)
+    # per-variant tile defaults (select_imlp_apply): 1792 single / 1536
+    # dual — the round-3 backward restructure (dW accumulated in output
+    # blocks, pre-concat stash, bf16 weights) freed the VMEM that used to
+    # cap dual at 1024 (measured dual: 143.6 it/s @1536 vs 141.4 @1024)
     apply_mlp = select_imlp_apply(cfg.use_pallas_imlp, cfg.fit_precision,
-                                  tile)
+                                  tile, dual=dual)
     d = cfg.derivative_amount
     gd_fg = cfg.global_rigidity_derivative_amount_fg
     gd_bg = cfg.global_rigidity_derivative_amount_bg

@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip_len", type=int, default=6)
     p.add_argument("--clip_batch", type=int, default=2)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=["constant", "cosine"],
+                   help="cosine: 3%% warmup then decay to lr/20 — use for "
+                        "long runs (constant-LR Adam plateaus at an "
+                        "LR-bound noise floor)")
     p.add_argument("--temporal_weight", type=float, default=2.0)
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
@@ -51,7 +56,7 @@ def main(argv=None) -> int:
                       filter_steps=args.filter_steps,
                       refine_steps=args.refine_steps, batch=args.batch,
                       clip_len=args.clip_len, clip_batch=args.clip_batch,
-                      learning_rate=args.lr,
+                      learning_rate=args.lr, lr_schedule=args.lr_schedule,
                       temporal_weight=args.temporal_weight,
                       texture_mix=args.texture_mix,
                       dtype=args.dtype, seed=args.seed,

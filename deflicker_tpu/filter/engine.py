@@ -419,16 +419,23 @@ class FilterEngine:
 
 
 def _resolve_ckpt(path: Optional[str | Path]) -> Optional[Path]:
-    """The checkpoint to load: the given path, or its in-framework-trained
-    `.ckpt` sibling (cli.train_stage2 writes `neural_filter.ckpt` next to
-    where the reference's `neural_filter.pth` would live), else None."""
+    """The checkpoint to load, in order: the given path; its
+    in-framework-trained `.ckpt` sibling (cli.train_stage2 writes
+    `neural_filter.ckpt` next to where the reference's `neural_filter.pth`
+    would live); the framework's SHIPPED weights of the same name
+    (<repo>/pretrained_weights — so running the pipeline from any cwd with
+    the default relative paths still finds real weights); else None."""
     if not path:
         return None
     path = Path(path)
     if path.exists():
         return path
     trained = path.with_suffix(".ckpt")
-    return trained if trained.exists() else None
+    if trained.exists():
+        return trained
+    shipped = (Path(__file__).resolve().parents[2] / "pretrained_weights"
+               / trained.name)
+    return shipped if shipped.exists() else None
 
 
 def load_filter_engine(ckpt_filter: Optional[str | Path],

@@ -53,6 +53,7 @@ class TrainConfig:
     clip_len: int = 6            # refiner clip length
     clip_batch: int = 2          # refiner clips per step
     learning_rate: float = 2e-4
+    lr_schedule: str = "constant"  # "constant" | "cosine" (warmup + decay)
     grad_weight: float = 0.5     # filter gradient-L1 weight
     temporal_weight: float = 2.0  # refiner warp-loss weight
     texture_mix: float = 0.5     # P(real-image clip) when a bank is given
@@ -63,6 +64,25 @@ class TrainConfig:
     @property
     def jdtype(self):
         return jnp.dtype(self.dtype)
+
+
+def _make_optimizer(cfg: TrainConfig, total_steps: int):
+    """Adam with the configured LR schedule.  "cosine": 3% linear warmup
+    then cosine decay to lr/20 — Adam at a constant LR plateaus at an
+    LR-bound noise floor (the shipped 18k run's refiner flatlined after
+    ~4k steps at 2e-4); the decay trades exploration for a lower floor.
+    The schedule step count lives in the optax state, so it threads
+    cleanly through the donated scan-chunk carries."""
+    if cfg.lr_schedule == "constant":
+        return optax.adam(cfg.learning_rate)
+    if cfg.lr_schedule != "cosine":
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    warmup = max(1, int(0.03 * total_steps))
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=cfg.learning_rate / 10, peak_value=cfg.learning_rate,
+        warmup_steps=warmup, decay_steps=total_steps,
+        end_value=cfg.learning_rate / 20)
+    return optax.adam(sched)
 
 
 def _make_clip_batch(key, bank, cfg: TrainConfig, B: int, T: int):
@@ -104,7 +124,7 @@ def _grad_l1(a, b):
 def _filter_chunk(carry, bank, cfg: TrainConfig, n_steps: int):
     """n_steps UNet train steps as one compiled scan."""
     net = UNet(in_channels=6, out_channels=3, features=32, dtype=cfg.jdtype)
-    optimizer = optax.adam(cfg.learning_rate)
+    optimizer = _make_optimizer(cfg, cfg.filter_steps)
 
     def loss_fn(variables, key):
         clips = _make_clip_batch(key, bank, cfg, cfg.batch, 1)
@@ -136,7 +156,7 @@ def _refiner_chunk(carry, filter_variables: Dict, bank, cfg: TrainConfig,
     """n_steps TransformNet train steps (UNet frozen) as one compiled scan."""
     fnet = UNet(in_channels=6, out_channels=3, features=32, dtype=cfg.jdtype)
     lnet = TransformNet(nf=32, blocks=5, nc_out=3, dtype=cfg.jdtype)
-    optimizer = optax.adam(cfg.learning_rate)
+    optimizer = _make_optimizer(cfg, cfg.refine_steps)
     B, T, H, W = cfg.clip_batch, cfg.clip_len, cfg.height, cfg.width
 
     def loss_fn(variables, key):
@@ -222,7 +242,7 @@ def train_filter(cfg: TrainConfig, key: jax.Array,
     bank, cfg = _prep_bank(cfg, texture_bank)
     k_init, k_train = jax.random.split(key)
     variables = unet_init(k_init, hw=(cfg.height, cfg.width))
-    opt_state = optax.adam(cfg.learning_rate).init(variables)
+    opt_state = _make_optimizer(cfg, cfg.filter_steps).init(variables)
     carry = (variables, opt_state, k_train)
     carry, logs = _run(lambda c, n: _filter_chunk(c, bank, cfg, n), carry,
                        cfg.filter_steps, cfg.steps_per_call, "filter",
@@ -238,7 +258,7 @@ def train_refiner(cfg: TrainConfig, key: jax.Array, filter_variables: Dict,
     bank, cfg = _prep_bank(cfg, texture_bank)
     k_init, k_train = jax.random.split(key)
     variables = transformnet_init(k_init, hw=(cfg.height, cfg.width))
-    opt_state = optax.adam(cfg.learning_rate).init(variables)
+    opt_state = _make_optimizer(cfg, cfg.refine_steps).init(variables)
     carry = (variables, opt_state, k_train)
     carry, logs = _run(
         lambda c, n: _refiner_chunk(c, filter_variables, bank, cfg, n),

@@ -68,6 +68,27 @@ class TestTransformNetParity:
 
 
 class TestFilterEngine:
+    def test_resolve_ckpt_falls_back_to_shipped(self, tmp_path):
+        """A relative .pth path that exists nowhere near the cwd resolves
+        to the framework's shipped pretrained_weights/<name>.ckpt (the
+        pipeline is commonly launched from a scratch dir)."""
+        from pathlib import Path
+
+        from deflicker_tpu.filter.engine import _resolve_ckpt
+
+        shipped = (Path(__file__).resolve().parents[1] /
+                   "pretrained_weights" / "neural_filter.ckpt")
+        assert shipped.exists(), "shipped stage-2 weights missing"
+        got = _resolve_ckpt(tmp_path / "pretrained_weights"
+                            / "neural_filter.pth")
+        assert got == shipped
+        # explicit existing path always wins
+        p = tmp_path / "neural_filter.pth"
+        p.write_bytes(b"x")
+        assert _resolve_ckpt(p) == p
+        assert _resolve_ckpt(None) is None
+        assert _resolve_ckpt(tmp_path / "no_such_net.pth") is None
+
     def test_end_to_end_artifacts(self, tmp_path):
         import cv2
 

@@ -143,6 +143,28 @@ class TestTraining:
         assert len(logs) == 4
         assert logs[-1] < logs[0], f"filter loss did not descend: {logs}"
 
+    def test_cosine_schedule_trains(self):
+        import dataclasses
+
+        from deflicker_tpu.train.stage2_trainer import _make_optimizer
+
+        cfg = dataclasses.replace(CFG, lr_schedule="cosine")
+        logs = []
+        train_filter(cfg, jax.random.key(0),
+                     lambda n, s, r: logs.append(r["total"]))
+        assert len(logs) == 4 and np.isfinite(logs).all()
+        # the schedule's step count must survive the donated chunk carries:
+        # after filter_steps steps the LR has decayed to end_value = lr/20
+        import optax
+        sched = optax.warmup_cosine_decay_schedule(
+            cfg.learning_rate / 10, cfg.learning_rate,
+            max(1, int(0.03 * cfg.filter_steps)), cfg.filter_steps,
+            cfg.learning_rate / 20)
+        assert float(sched(cfg.filter_steps)) == pytest.approx(
+            cfg.learning_rate / 20)
+        with pytest.raises(ValueError):
+            _make_optimizer(dataclasses.replace(CFG, lr_schedule="nope"), 10)
+
     def test_refiner_trains_through_recurrence(self):
         import dataclasses
 
