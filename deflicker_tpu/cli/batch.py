@@ -50,6 +50,7 @@ def run_batch_parallel(videos, args, atlas_cfg, mesh=None) -> dict:
             down=args.down, root=args.root, results_root=args.results_root,
             ckpt_raft=args.ckpt_raft, ckpt_filter=args.ckpt_filter,
             ckpt_local=args.ckpt_local,
+            mask_provider=getattr(args, "mask_provider", None),
             stage2_dtype=getattr(args, "stage2_precision", "bfloat16"))
 
     t0 = time.time()
@@ -71,7 +72,8 @@ def run_batch_parallel(videos, args, atlas_cfg, mesh=None) -> dict:
         preprocess_optical_flow(fd, flow_provider,
                                 max_long_edge=cfg.max_long_edge)
         if dual:
-            preprocess_masks(fd, get_mask_provider(args.class_name))
+            preprocess_masks(fd, get_mask_provider(
+                args.class_name, getattr(args, "mask_provider", None)))
         resy, resx = _stage1_resolution(fd, args.down, dual)
         frames_dirs.append(fd)
         datas.append(load_video_data(fd, resy, resx,
@@ -168,6 +170,10 @@ def main(argv=None) -> int:
                    help="process every .mp4/.avi/.mov in this directory")
     p.add_argument("--fps", default=10, type=int)
     p.add_argument("--class_name", default=None, type=str)
+    p.add_argument("--mask_provider", default=None, type=str,
+                   choices=["carvekit", "maskrcnn", "grabcut"],
+                   help="override the seg backend (default: reference "
+                        "semantics — portrait->carvekit, else Mask-RCNN)")
     p.add_argument("--down", default=None, type=int)
     p.add_argument("--iters", default=None, type=int)
     p.add_argument("--root", default="data/test/", type=str)
