@@ -597,14 +597,18 @@ def bench_batch(n_clips=3, iters=None, parallel=False):
 
 
 def bench_trained_stage2(n_clips=8, T=12, H=128, W=128,
-                         weights_dir="pretrained_weights"):
+                         weights_dir="pretrained_weights", dist="layered"):
     """Quality of the in-framework-trained stage-2 networks on HELD-OUT
     synthetic clips (train/synth.py keys disjoint from the training stream):
     PSNR to the clean ground truth and exact-flow temporal error for the
     flickered input, the UNet output, and the refined output — trained
     weights vs the random-init fallback.  The honest "does training work"
     artifact (real-video quality additionally measured by `e2e` once the
-    trained checkpoints are in place)."""
+    trained checkpoints are in place).
+
+    dist: "layered" = current defaults (fg layer p=0.5, AR(1) flicker);
+    "legacy" = the round-3 affine-only distribution (p_layer=0, iid) —
+    keeps the pre-knee schedule history comparable."""
     import jax
     import jax.numpy as jnp
 
@@ -612,15 +616,16 @@ def bench_trained_stage2(n_clips=8, T=12, H=128, W=128,
                                              refine_sequence)
     from deflicker_tpu.metrics import psnr
     from deflicker_tpu.ops.sampling import flow_warp
-    from deflicker_tpu.train.synth import make_clip, warp_valid_mask
+    from deflicker_tpu.train.synth import make_clip
 
     wdir = Path(weights_dir)
+    kw = {} if dist == "layered" else {"p_layer": 0.0, "corr_flicker": False}
 
-    def temporal_err(x, flow):                      # x: (T,H,W,3) f32
+    def temporal_err(x, clip):                      # x: (T,H,W,3) f32
         errs = []
         for t in range(1, x.shape[0]):
-            w = flow_warp(x[t - 1], flow[t])
-            m = warp_valid_mask(flow[t], H, W)
+            w = flow_warp(x[t - 1], clip.flow_bw[t])
+            m = clip.valid[t]
             errs.append(float((jnp.abs(x[t] - w) * m).sum() / (m.sum() * 3)))
         return float(np.mean(errs))
 
@@ -632,7 +637,7 @@ def bench_trained_stage2(n_clips=8, T=12, H=128, W=128,
             eng = load_filter_engine(None, None)    # random fallback
         rows = []
         for c in range(n_clips):
-            clip = jax.jit(lambda k: make_clip(k, T, H, W))(
+            clip = jax.jit(lambda k: make_clip(k, T, H, W, **kw))(
                 jax.random.key(10_000 + c))         # held-out fold
             P = filter_frames(eng.filter_variables, clip.inp, clip.atlas)
             O = refine_sequence(eng.local_variables, P)
@@ -644,14 +649,14 @@ def bench_trained_stage2(n_clips=8, T=12, H=128, W=128,
                                             np.asarray(clip.clean))),
                 "psnr_refined": float(psnr(np.asarray(O),
                                            np.asarray(clip.clean))),
-                "temp_input": temporal_err(clip.inp, clip.flow_bw),
-                "temp_refined": temporal_err(O, clip.flow_bw),
-                "temp_clean": temporal_err(clip.clean, clip.flow_bw),
+                "temp_input": temporal_err(clip.inp, clip),
+                "temp_refined": temporal_err(O, clip),
+                "temp_clean": temporal_err(clip.clean, clip),
             })
         return {k: round(float(np.mean([r[k] for r in rows])), 4)
                 for k in rows[0]}
 
-    out = {"heldout_clips": n_clips, "shape": f"{T}x{H}x{W}",
+    out = {"heldout_clips": n_clips, "shape": f"{T}x{H}x{W}", "dist": dist,
            "device": _device_str()}
     if (wdir / "neural_filter.ckpt").exists():
         out["trained"] = run("trained")

@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "long runs (constant-LR Adam plateaus at an "
                         "LR-bound noise floor)")
     p.add_argument("--temporal_weight", type=float, default=2.0)
+    p.add_argument("--p_layer", type=float, default=0.5,
+                   help="probability of an independently-moving foreground "
+                        "layer per clip (0 = legacy affine-only clips)")
+    p.add_argument("--iid_flicker", action="store_true",
+                   help="legacy iid flicker instead of the AR(1) series")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--seed", type=int, default=0)
@@ -59,6 +64,8 @@ def main(argv=None) -> int:
                       learning_rate=args.lr, lr_schedule=args.lr_schedule,
                       temporal_weight=args.temporal_weight,
                       texture_mix=args.texture_mix,
+                      p_layer=args.p_layer,
+                      corr_flicker=not args.iid_flicker,
                       dtype=args.dtype, seed=args.seed,
                       steps_per_call=args.steps_per_call)
     bank = None

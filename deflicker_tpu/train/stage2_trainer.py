@@ -20,9 +20,10 @@ Training objectives:
            L1 alone lets the net lean on it).
   refiner: O_t = P_t + TransformNet(cat(P_t, O_{t-1}, P_t, P_{t-1})) through
            the inference recurrence (filter/engine.refine_sequence) with the
-           UNet frozen;  L1 to clean + occlusion-free temporal warp loss
-           |O_t - warp(O_{t-1})| using the clips' exact flow — the E_warp
-           metric (metrics/ewarp.py) as a training signal.
+           UNet frozen;  L1 to clean + temporal warp loss
+           |O_t - warp(O_{t-1})| on Clip.valid pixels (exact flow,
+           occlusions and fg-mask edges excluded) — the E_warp metric
+           (metrics/ewarp.py) as a training signal.
 """
 
 from __future__ import annotations
@@ -40,7 +41,7 @@ import optax
 from ..models.refine import TransformNet, transformnet_init
 from ..models.unet import UNet, unet_init
 from ..ops.sampling import flow_warp
-from .synth import make_clip, make_image_clip, warp_valid_mask
+from .synth import make_clip, make_image_clip
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +58,8 @@ class TrainConfig:
     grad_weight: float = 0.5     # filter gradient-L1 weight
     temporal_weight: float = 2.0  # refiner warp-loss weight
     texture_mix: float = 0.5     # P(real-image clip) when a bank is given
+    p_layer: float = 0.5         # P(foreground layer per clip) — synth.py
+    corr_flicker: bool = True    # AR(1) flicker series (False: iid legacy)
     dtype: str = "bfloat16"      # conv compute dtype (params stay f32)
     steps_per_call: int = 50
     seed: int = 0
@@ -95,15 +98,17 @@ def _make_clip_batch(key, bank, cfg: TrainConfig, B: int, T: int):
     keys = jax.random.split(k_clips, B)
 
     def fourier(_):
-        return jax.vmap(lambda k: make_clip(k, T, cfg.height, cfg.width))(
-            keys)
+        return jax.vmap(lambda k: make_clip(
+            k, T, cfg.height, cfg.width, p_layer=cfg.p_layer,
+            corr_flicker=cfg.corr_flicker))(keys)
 
     def image(_):
         def one(k):
             k_idx, k_clip = jax.random.split(k)
             idx = jax.random.randint(k_idx, (), 0, bank.shape[0])
             return make_image_clip(k_clip, bank[idx], T, cfg.height,
-                                   cfg.width)
+                                   cfg.width, p_layer=cfg.p_layer,
+                                   corr_flicker=cfg.corr_flicker)
         return jax.vmap(one)(keys)
 
     use_image = jax.random.uniform(k_pick) < cfg.texture_mix
@@ -168,21 +173,23 @@ def _refiner_chunk(carry, filter_variables: Dict, bank, cfg: TrainConfig,
 
         def step_t(c, xs):
             o_prev, p_prev = c
-            p_t, clean_t, flow_t = xs
+            p_t, clean_t, flow_t, valid_t = xs
             inp = jnp.concatenate([p_t, o_prev, p_t, p_prev], axis=-1)
             resid = lnet.apply(variables,
                                inp.astype(cfg.jdtype)).astype(jnp.float32)
             o_t = p_t + resid
             rec = _l1(o_t, clean_t)
             warped = jax.vmap(flow_warp)(o_prev, flow_t)
-            mask = warp_valid_mask(flow_t, H, W)
-            temp = jnp.sum(jnp.abs(o_t - warped) * mask) / (
-                jnp.sum(mask) * 3.0 + 1e-8)
+            # clip.valid: in-bounds AND occlusion/mask-edge-free — the
+            # temporal loss must not penalize true occlusions (synth.py)
+            temp = jnp.sum(jnp.abs(o_t - warped) * valid_t) / (
+                jnp.sum(valid_t) * 3.0 + 1e-8)
             return (o_t, p_t), (rec, temp)
 
         seq = (jnp.swapaxes(P[:, 1:], 0, 1),
                jnp.swapaxes(clips.clean[:, 1:], 0, 1),
-               jnp.swapaxes(clips.flow_bw[:, 1:], 0, 1))
+               jnp.swapaxes(clips.flow_bw[:, 1:], 0, 1),
+               jnp.swapaxes(clips.valid[:, 1:], 0, 1))
         p0 = P[:, 0]
         (_, _), (recs, temps) = jax.lax.scan(step_t, (p0, p0), seq)
         rec, temp = jnp.mean(recs), jnp.mean(temps)

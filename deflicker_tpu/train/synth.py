@@ -26,6 +26,22 @@ inside the jitted training step (zero host I/O, zero H2D traffic).
   flow_bw_t(p) = A_{t-1}^{-1}(A_t p) - p   (exact: warp(frame_{t-1}) = frame_t)
   atlas_t(p)  = tex_lowpass(A_t p + d(A_t p))   d: small static displacement
   input_t(p)  = clip(frame_t(p) * gain_t(p) + bias_t, 0, 1)
+
+Distribution-breadth extensions (added after the schedule-scaling knee was
+found — more steps overfit the affine-only distribution, BASELINE.md):
+
+  * **Foreground layer** (probability `p_layer` per clip): a second Fourier
+    texture on its own affine trajectory B_t, composited through a soft
+    elliptical mask that RIDES the foreground surface (m_t(p) = M(B_t p)).
+    The scene's backward flow is layered — foreground flow where the mask
+    is on, background flow elsewhere — which is exactly the non-affine,
+    occlusion-bearing flow structure of real video.  `Clip.valid` marks
+    where the temporal correspondence is trustworthy: in-bounds AND not in
+    the mask's soft edge band AND (for background pixels) not occluded by
+    the foreground at t-1.
+  * **Correlated flicker** (`corr_flicker`): per-clip AR(1) gain/bias
+    series (rho ~ U(0, 0.9)) instead of iid — real exposure flicker drifts
+    frame to frame; iid is the rho=0 corner of this family.
 """
 
 from __future__ import annotations
@@ -43,6 +59,9 @@ class Clip(NamedTuple):
     inp: jax.Array       # (T, H, W, 3) flickered input
     atlas: jax.Array     # (T, H, W, 3) flawed-atlas analog
     flow_bw: jax.Array   # (T, H, W, 2) flow_bw[t]: frame t -> t-1 (t=0: 0)
+    valid: jax.Array     # (T, H, W, 1) 1.0 where the t->t-1 correspondence
+    #                      is exact: in-bounds, off the fg-mask edge band,
+    #                      and not occluded at t-1 (valid[0] = 1)
 
 
 def _texture_params(key, n_freqs: int, min_period: float, max_period: float):
@@ -69,13 +88,13 @@ def _eval_texture(u, freqs, phases, amps, gain: float = 2.5):
     return 0.5 + 0.5 * jnp.tanh(gain * jnp.sum(val, axis=-2))
 
 
-def _affine_trajectory(key, T: int, H: int, W: int):
+def _affine_trajectory(key, T: int, H: int, W: int, trans_px: float = 1.5):
     """Smooth random camera path: per-frame 2x2 matrix M_t + offset o_t with
     u = M_t p + o_t.  Steps are Gaussian random walks in translation,
     rotation and log-zoom (a few px / centi-radians per frame — RAFT-scale
     motion at these resolutions)."""
     kt, kr, kz = jax.random.split(key, 3)
-    trans = jnp.cumsum(jax.random.normal(kt, (T, 2)) * 1.5, axis=0)
+    trans = jnp.cumsum(jax.random.normal(kt, (T, 2)) * trans_px, axis=0)
     rot = jnp.cumsum(jax.random.normal(kr, (T,)) * 0.008, axis=0)
     zoom = jnp.exp(jnp.cumsum(jax.random.normal(kz, (T,)) * 0.004, axis=0))
     c, s = jnp.cos(rot), jnp.sin(rot)
@@ -93,67 +112,191 @@ def _pixel_grid(H: int, W: int):
     return jnp.stack([xs, ys], axis=-1)                  # (H, W, 2) = (x, y)
 
 
+# ---------------------------------------------------------------------------
+# foreground layer + correlated flicker (distribution-breadth machinery)
+# ---------------------------------------------------------------------------
+
+def _ellipse_params(key, H: int, W: int):
+    """Random soft ellipse in foreground-TEXTURE space (u = B_t p, which at
+    t=0 is ~image coordinates): center inside the middle half, radii
+    10-28% of the image dims, random orientation."""
+    kc, kr, ka = jax.random.split(key, 3)
+    dims = jnp.array([W, H], jnp.float32)
+    c = dims * (0.25 + 0.5 * jax.random.uniform(kc, (2,)))
+    rad = dims * (0.10 + 0.18 * jax.random.uniform(kr, (2,)))
+    ang = jax.random.uniform(ka, (), maxval=jnp.pi)
+    return c, rad, ang
+
+
+def _ellipse_mask(u, prm, sharpness: float = 12.0):
+    """M(u) in [0, 1]: ~1 inside the ellipse, ~0 outside, smooth edge.
+    u: (..., 2)."""
+    c, rad, ang = prm
+    d = u - c
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+    x = (d[..., 0] * ca + d[..., 1] * sa) / rad[0]
+    y = (-d[..., 0] * sa + d[..., 1] * ca) / rad[1]
+    r = jnp.sqrt(x * x + y * y + 1e-8)
+    return jax.nn.sigmoid(sharpness * (1.0 - r))[..., None]
+
+
+def _layered_flow_valid(grid, H: int, W: int, m, flow_bg, flow_fg,
+                        Mf, offf, prm, fg_on):
+    """Compose the layered backward flow and its exact validity mask.
+
+    m: (T, H, W, 1) foreground mask at t; flow_bg/flow_fg: (T, H, W, 2)
+    with zero t=0 rows.  A pixel's flow is the visible surface's flow
+    (foreground on top).  valid_t = in-bounds AND
+      * foreground pixel (m > 0.8): always corresponded — the mask rides
+        the surface, so M(B_{t-1} p_prev) == M(B_t p) identically;
+      * background pixel (m < 0.2): the background point must be visible
+        at t-1 too, i.e. NOT under the foreground: m_{t-1}(p_prev) < 0.2;
+      * mask edge band (0.2 <= m <= 0.8): excluded — the composite mixes
+        two motions there.
+    """
+    T = m.shape[0]
+    sel = m > 0.5
+    flow = jnp.where(sel, flow_fg, flow_bg)
+    inb = warp_valid_mask(flow, H, W)
+    p_prev = grid[None] + flow                           # (T, H, W, 2)
+
+    def m_prev(t):
+        u = jnp.einsum("ij,hwj->hwi", Mf[t - 1], p_prev[t]) + offf[t - 1]
+        return _ellipse_mask(u, prm) * fg_on
+
+    mp = jnp.concatenate([jnp.zeros((1, H, W, 1)),
+                          jax.vmap(m_prev)(jnp.arange(1, T))], axis=0)
+    ok = (m > 0.8) | ((m < 0.2) & (mp < 0.2))
+    valid = inb * ok.astype(jnp.float32)
+    return flow, valid.at[0].set(1.0)
+
+
+def _corr_flicker_series(key, T: int, bound: float):
+    """Per-frame (T, 1, 1, 3) multiplier offsets: stationary AR(1) with a
+    per-clip correlation rho ~ U(0, 0.9), squashed by tanh so the series is
+    bounded by `bound` (matching the iid-uniform legacy scale, whose std is
+    bound/sqrt(3) ~ 0.58*bound vs tanh(N(0,1))'s ~0.61)."""
+    k_rho, k_e = jax.random.split(key)
+    rho = jax.random.uniform(k_rho, (), maxval=0.9)
+    e = jax.random.normal(k_e, (T, 3))
+    idx = jnp.arange(T)
+    expo = jnp.maximum(idx[:, None] - idx[None, :], 0).astype(jnp.float32)
+    L = jnp.tril(rho ** expo)
+    # stationary scaling: the s=0 column carries the unit-variance initial
+    # state, later columns the sqrt(1-rho^2)-scaled innovations
+    scale = jnp.where(idx[None, :] == 0, 1.0,
+                      jnp.sqrt(jnp.maximum(1.0 - rho ** 2, 1e-6)))
+    w = (L * scale) @ e                                  # (T, 3), ~unit var
+    return (bound * jnp.tanh(w))[:, None, None, :]
+
+
+def _affine_backward_flow(coords, M, off, grid, T: int, H: int, W: int):
+    """flow_bw[t](p) = A_{t-1}^{-1}(A_t p - o_{t-1}) - p, zero t=0 row."""
+    Minv = jnp.linalg.inv(M)                             # (T, 2, 2)
+
+    def bw(t):
+        p_prev = jnp.einsum("ij,hwj->hwi", Minv[t - 1],
+                            coords[t] - off[t - 1])
+        return p_prev - grid
+
+    return jnp.concatenate([jnp.zeros((1, H, W, 2)),
+                            jax.vmap(bw)(jnp.arange(1, T))], axis=0)
+
+
+def _flicker_input(clean, k_gain, k_bias, k_field, T, H, W,
+                   flicker_gain, flicker_bias, local_gain,
+                   corr_flicker: bool):
+    """Flickered input: per-frame global gain/bias (iid uniform, or AR(1)
+    when corr_flicker) + smooth iid spatial gain field."""
+    if corr_flicker:
+        g = 1.0 + _corr_flicker_series(k_gain, T, flicker_gain)
+        b = _corr_flicker_series(k_bias, T, flicker_bias)
+    else:
+        g = 1.0 + jax.random.uniform(k_gain, (T, 1, 1, 3),
+                                     minval=-flicker_gain,
+                                     maxval=flicker_gain)
+        b = jax.random.uniform(k_bias, (T, 1, 1, 3), minval=-flicker_bias,
+                               maxval=flicker_bias)
+    field = jax.random.uniform(k_field, (T, 3, 4, 1), minval=-local_gain,
+                               maxval=local_gain)
+    field = 1.0 + jax.image.resize(field, (T, H, W, 1), "linear")
+    return jnp.clip(clean * g * field + b, 0.0, 1.0)
+
+
 def make_clip(key: jax.Array, T: int, H: int, W: int,
               n_freqs: int = 48, flicker_gain: float = 0.25,
               flicker_bias: float = 0.08, local_gain: float = 0.15,
               atlas_shift: float = 0.06, atlas_warp_px: float = 2.0,
-              blur_period: float = 12.0) -> Clip:
-    """One training clip.  See module docstring for the construction."""
+              blur_period: float = 12.0, p_layer: float = 0.5,
+              corr_flicker: bool = True) -> Clip:
+    """One training clip.  See module docstring for the construction.
+
+    p_layer=0.0 + corr_flicker=False reproduces the round-3 affine-only
+    legacy distribution exactly (valid = the in-bounds mask)."""
     (k_tex, k_cam, k_shift, k_warp, k_gain, k_bias,
-     k_field) = jax.random.split(key, 7)
+     k_field, k_fg) = jax.random.split(key, 8)
     freqs, phases, amps = _texture_params(k_tex, n_freqs,
                                           min_period=4.0, max_period=96.0)
     M, off = _affine_trajectory(k_cam, T, H, W)
     grid = _pixel_grid(H, W)
 
-    def frame_coords(t):
-        return jnp.einsum("ij,hwj->hwi", M[t], grid) + off[t]
+    def frame_coords(Mt, ot):
+        return jnp.einsum("tij,hwj->thwi", Mt, grid) + ot[:, None, None]
 
-    coords = jax.vmap(frame_coords)(jnp.arange(T))       # (T, H, W, 2)
-    clean = _eval_texture(coords, freqs, phases, amps)
+    coords = frame_coords(M, off)                        # (T, H, W, 2)
+    clean_bg = _eval_texture(coords, freqs, phases, amps)
 
     # -- flawed atlas: low-pass texture (drop fine frequencies — the atlas
     # blur), constant color shift, static misaligning displacement field
-    fmag = jnp.sqrt(jnp.sum(freqs ** 2, axis=-1))
-    lp_amps = amps * (fmag < 1.0 / blur_period)[:, None]
-    shift = jax.random.uniform(k_shift, (3,), minval=-atlas_shift,
-                               maxval=atlas_shift)
-    wf, wp, wa = _texture_params(k_warp, 8, min_period=24.0, max_period=128.0)
-    disp = (_eval_texture(coords, wf, wp, wa) - 0.5)[..., :2] \
-        * (2.0 * atlas_warp_px)
-    atlas = jnp.clip(
-        _eval_texture(coords + disp, freqs, phases, lp_amps) + shift, 0., 1.)
+    def atlas_of(cds, fr, ph, am, k_sh, k_wp):
+        fmag = jnp.sqrt(jnp.sum(fr ** 2, axis=-1))
+        lp = am * (fmag < 1.0 / blur_period)[:, None]
+        sh = jax.random.uniform(k_sh, (3,), minval=-atlas_shift,
+                                maxval=atlas_shift)
+        wf, wp, wa = _texture_params(k_wp, 8, min_period=24.0,
+                                     max_period=128.0)
+        disp = (_eval_texture(cds, wf, wp, wa) - 0.5)[..., :2] \
+            * (2.0 * atlas_warp_px)
+        return jnp.clip(_eval_texture(cds + disp, fr, ph, lp) + sh, 0., 1.)
 
-    # -- flicker: per-frame global gain/bias + smooth spatial gain field
-    g = 1.0 + jax.random.uniform(k_gain, (T, 1, 1, 3), minval=-flicker_gain,
-                                 maxval=flicker_gain)
-    b = jax.random.uniform(k_bias, (T, 1, 1, 3), minval=-flicker_bias,
-                           maxval=flicker_bias)
-    field = jax.random.uniform(k_field, (T, 3, 4, 1), minval=-local_gain,
-                               maxval=local_gain)
-    field = 1.0 + jax.image.resize(field, (T, H, W, 1), "linear")
-    inp = jnp.clip(clean * g * field + b, 0.0, 1.0)
+    atlas_bg = atlas_of(coords, freqs, phases, amps, k_shift, k_warp)
+    flow_bg = _affine_backward_flow(coords, M, off, grid, T, H, W)
 
-    # -- exact backward flow: flow_bw[t](p) = A_{t-1}^{-1}(A_t p) - p
-    Minv = jnp.linalg.inv(M)                             # (T, 2, 2)
+    # -- foreground layer (its own texture, trajectory and atlas artifact,
+    # composited through a soft ellipse riding the foreground surface)
+    (kf_tex, kf_cam, kf_ell, kf_on, kf_shift,
+     kf_warp) = jax.random.split(k_fg, 6)
+    Mf, offf = _affine_trajectory(kf_cam, T, H, W, trans_px=2.5)
+    fg_coords = frame_coords(Mf, offf)
+    ffreqs, fphases, famps = _texture_params(kf_tex, n_freqs,
+                                             min_period=4.0, max_period=96.0)
+    fg_clean = _eval_texture(fg_coords, ffreqs, fphases, famps)
+    fg_atlas = atlas_of(fg_coords, ffreqs, fphases, famps, kf_shift, kf_warp)
+    prm = _ellipse_params(kf_ell, H, W)
+    fg_on = jax.random.bernoulli(kf_on, p_layer).astype(jnp.float32)
+    m = _ellipse_mask(fg_coords, prm) * fg_on            # (T, H, W, 1)
 
-    def bw(t):
-        u = coords[t]                                    # A_t p
-        p_prev = jnp.einsum("ij,hwj->hwi", Minv[t - 1], u - off[t - 1])
-        return p_prev - grid
+    clean = m * fg_clean + (1.0 - m) * clean_bg
+    atlas = m * fg_atlas + (1.0 - m) * atlas_bg
+    flow_fg = _affine_backward_flow(fg_coords, Mf, offf, grid, T, H, W)
+    flow_bw, valid = _layered_flow_valid(grid, H, W, m, flow_bg, flow_fg,
+                                         Mf, offf, prm, fg_on)
 
-    flow_bw = jnp.concatenate(
-        [jnp.zeros((1, H, W, 2)),
-         jax.vmap(bw)(jnp.arange(1, T))], axis=0)
-    return Clip(clean, inp, atlas, flow_bw)
+    inp = _flicker_input(clean, k_gain, k_bias, k_field, T, H, W,
+                         flicker_gain, flicker_bias, local_gain,
+                         corr_flicker)
+    return Clip(clean, inp, atlas, flow_bw, valid)
 
 
 def make_image_clip(key: jax.Array, tex: jax.Array, T: int, H: int, W: int,
                     flicker_gain: float = 0.25, flicker_bias: float = 0.08,
                     local_gain: float = 0.15, atlas_shift: float = 0.06,
-                    atlas_warp_px: float = 2.0) -> Clip:
-    """A clip whose texture is a real IMAGE instead of Fourier features —
-    same affine camera machinery, same exact flow, real image statistics.
+                    atlas_warp_px: float = 2.0, p_layer: float = 0.5,
+                    corr_flicker: bool = True) -> Clip:
+    """A clip whose BACKGROUND texture is a real IMAGE instead of Fourier
+    features — same affine camera machinery, same exact flow, real image
+    statistics.  The optional foreground layer (probability `p_layer`) is a
+    Fourier texture on its own trajectory, exactly as in `make_clip`.
 
     `tex`: (Ht, Wt, 3) f32 in [0, 1], larger than (H, W) by a safe margin
     (the trajectory keeps coordinates well inside; out-of-bounds sampling
@@ -166,7 +309,7 @@ def make_image_clip(key: jax.Array, tex: jax.Array, T: int, H: int, W: int,
 
     Ht, Wt = tex.shape[0], tex.shape[1]
     (k_cam, k_start, k_shift, k_warp, k_gain, k_bias,
-     k_field) = jax.random.split(key, 7)
+     k_field, k_fg) = jax.random.split(key, 8)
     M, off = _affine_trajectory(k_cam, T, H, W)
     # recenter into the texture with a random start inside the margin;
     # shrink a touch so rotation corners stay inside
@@ -178,11 +321,11 @@ def make_image_clip(key: jax.Array, tex: jax.Array, T: int, H: int, W: int,
     off = off + start[None]
     grid = _pixel_grid(H, W)
 
-    def frame_coords(t):
-        return jnp.einsum("ij,hwj->hwi", M[t], grid) + off[t]
+    def frame_coords(Mt, ot):
+        return jnp.einsum("tij,hwj->thwi", Mt, grid) + ot[:, None, None]
 
-    coords = jax.vmap(frame_coords)(jnp.arange(T))       # (T, H, W, 2)
-    clean = jax.vmap(lambda c: bilinear_sample(tex, c))(coords)
+    coords = frame_coords(M, off)                        # (T, H, W, 2)
+    clean_bg = jax.vmap(lambda c: bilinear_sample(tex, c))(coords)
 
     # flawed atlas: blurred texture + color shift + static misalignment
     blur = jax.image.resize(
@@ -193,29 +336,42 @@ def make_image_clip(key: jax.Array, tex: jax.Array, T: int, H: int, W: int,
     wf, wp, wa = _texture_params(k_warp, 8, min_period=24.0, max_period=128.0)
     disp = (_eval_texture(coords, wf, wp, wa) - 0.5)[..., :2] \
         * (2.0 * atlas_warp_px)
-    atlas = jnp.clip(jax.vmap(lambda c: bilinear_sample(blur, c))(
+    atlas_bg = jnp.clip(jax.vmap(lambda c: bilinear_sample(blur, c))(
         coords + disp) + shift, 0.0, 1.0)
+    flow_bg = _affine_backward_flow(coords, M, off, grid, T, H, W)
 
-    g = 1.0 + jax.random.uniform(k_gain, (T, 1, 1, 3), minval=-flicker_gain,
-                                 maxval=flicker_gain)
-    b = jax.random.uniform(k_bias, (T, 1, 1, 3), minval=-flicker_bias,
-                           maxval=flicker_bias)
-    field = jax.random.uniform(k_field, (T, 3, 4, 1), minval=-local_gain,
-                               maxval=local_gain)
-    field = 1.0 + jax.image.resize(field, (T, H, W, 1), "linear")
-    inp = jnp.clip(clean * g * field + b, 0.0, 1.0)
+    # foreground layer: Fourier texture over the real-image background
+    (kf_tex, kf_cam, kf_ell, kf_on, kf_shift,
+     kf_warp) = jax.random.split(k_fg, 6)
+    Mf, offf = _affine_trajectory(kf_cam, T, H, W, trans_px=2.5)
+    fg_coords = frame_coords(Mf, offf)
+    ffreqs, fphases, famps = _texture_params(kf_tex, 48, min_period=4.0,
+                                             max_period=96.0)
+    fg_clean = _eval_texture(fg_coords, ffreqs, fphases, famps)
+    fmag = jnp.sqrt(jnp.sum(ffreqs ** 2, axis=-1))
+    lp_famps = famps * (fmag < 1.0 / 12.0)[:, None]
+    fshift = jax.random.uniform(kf_shift, (3,), minval=-atlas_shift,
+                                maxval=atlas_shift)
+    fwf, fwp, fwa = _texture_params(kf_warp, 8, min_period=24.0,
+                                    max_period=128.0)
+    fdisp = (_eval_texture(fg_coords, fwf, fwp, fwa) - 0.5)[..., :2] \
+        * (2.0 * atlas_warp_px)
+    fg_atlas = jnp.clip(_eval_texture(fg_coords + fdisp, ffreqs, fphases,
+                                      lp_famps) + fshift, 0.0, 1.0)
+    prm = _ellipse_params(kf_ell, H, W)
+    fg_on = jax.random.bernoulli(kf_on, p_layer).astype(jnp.float32)
+    m = _ellipse_mask(fg_coords, prm) * fg_on
 
-    Minv = jnp.linalg.inv(M)
+    clean = m * fg_clean + (1.0 - m) * clean_bg
+    atlas = m * fg_atlas + (1.0 - m) * atlas_bg
+    flow_fg = _affine_backward_flow(fg_coords, Mf, offf, grid, T, H, W)
+    flow_bw, valid = _layered_flow_valid(grid, H, W, m, flow_bg, flow_fg,
+                                         Mf, offf, prm, fg_on)
 
-    def bw(t):
-        u = coords[t]
-        p_prev = jnp.einsum("ij,hwj->hwi", Minv[t - 1], u - off[t - 1])
-        return p_prev - grid
-
-    flow_bw = jnp.concatenate(
-        [jnp.zeros((1, H, W, 2)),
-         jax.vmap(bw)(jnp.arange(1, T))], axis=0)
-    return Clip(clean, inp, atlas, flow_bw)
+    inp = _flicker_input(clean, k_gain, k_bias, k_field, T, H, W,
+                         flicker_gain, flicker_bias, local_gain,
+                         corr_flicker)
+    return Clip(clean, inp, atlas, flow_bw, valid)
 
 
 def load_texture_bank(texture_dir, tex_h: int, tex_w: int,

@@ -31,25 +31,30 @@ class TestSynthClips:
         assert clip.clean.shape == (self.T, self.H, self.W, 3)
         assert clip.inp.shape == clip.atlas.shape == clip.clean.shape
         assert clip.flow_bw.shape == (self.T, self.H, self.W, 2)
+        assert clip.valid.shape == (self.T, self.H, self.W, 1)
         for img in (clip.clean, clip.inp, clip.atlas):
             assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
         assert np.allclose(np.asarray(clip.flow_bw[0]), 0.0)
+        assert np.allclose(np.asarray(clip.valid[0]), 1.0)
 
     def test_flow_is_exact(self, clip):
         """warp(clean[t-1], flow_bw[t]) == clean[t] inside the valid region
-        (the flow is closed-form from the affine trajectory; the residual is
-        bilinear-interpolation error on a band-limited texture)."""
+        (the flow is closed-form from the affine trajectories; the residual
+        is bilinear-interpolation error on a band-limited texture)."""
         for t in range(1, self.T):
             warped = flow_warp(clip.clean[t - 1], clip.flow_bw[t])
-            mask = warp_valid_mask(clip.flow_bw[t], self.H, self.W)
+            mask = clip.valid[t]
             err = float((jnp.abs(warped - clip.clean[t]) * mask).sum()
                         / (mask.sum() * 3))
             assert err < 0.02, f"frame {t}: flow not exact (err {err})"
 
-    def test_flicker_present_and_atlas_consistent(self, clip):
+    def test_flicker_present_and_atlas_consistent(self):
         """The input must flicker (frame-mean variance) while clean and the
         atlas analog stay temporally consistent — the exact property the
-        filter is trained to exploit."""
+        filter is trained to exploit.  Measured on the affine-only clip
+        (no foreground layer) so clean's frame means are near-constant."""
+        clip = make_clip(jax.random.key(7), self.T, self.H, self.W,
+                         p_layer=0.0)
         clean_std = float(np.asarray(clip.clean).mean((1, 2, 3)).std())
         inp_std = float(np.asarray(clip.inp).mean((1, 2, 3)).std())
         atlas_std = float(np.asarray(clip.atlas).mean((1, 2, 3)).std())
@@ -66,6 +71,81 @@ class TestSynthClips:
         a = make_clip(jax.random.key(0), 2, 16, 16)
         b = make_clip(jax.random.key(1), 2, 16, 16)
         assert float(jnp.abs(a.clean - b.clean).mean()) > 0.05
+
+
+class TestLayeredClips:
+    """The distribution-breadth extensions: independently-moving foreground
+    layer (layered exact flow + occlusion-aware validity) and correlated
+    flicker (synth.py; added after 144k-step training overfitted the
+    affine-only distribution — BASELINE.md)."""
+
+    T, H, W = 6, 48, 64
+
+    @pytest.fixture(scope="class")
+    def clip(self):
+        return jax.jit(lambda k: make_clip(k, self.T, self.H, self.W,
+                                           p_layer=1.0))(jax.random.key(11))
+
+    def test_fg_layer_changes_flow(self, clip):
+        """Same key with p_layer=0 shares the background trajectory, so any
+        flow difference is the foreground layer's own motion."""
+        base = make_clip(jax.random.key(11), self.T, self.H, self.W,
+                         p_layer=0.0)
+        d = np.abs(np.asarray(clip.flow_bw[1:])
+                   - np.asarray(base.flow_bw[1:]))
+        assert float(d.max()) > 0.1, "fg layer did not alter the flow"
+
+    def test_valid_excludes_edge_and_occlusion(self, clip):
+        """valid must be a strict subset of in-bounds: the mask edge band
+        and background points occluded at t-1 are cut."""
+        cut = 0
+        for t in range(1, self.T):
+            inb = warp_valid_mask(clip.flow_bw[t], self.H, self.W)
+            v = clip.valid[t]
+            assert float((v * (1 - inb)).sum()) == 0.0   # valid => in-bounds
+            cut += float((inb - v).clip(0).sum())
+        assert cut > 0, "no pixels excluded despite a forced fg layer"
+
+    def test_flow_exact_on_valid(self, clip):
+        for t in range(1, self.T):
+            w = flow_warp(clip.clean[t - 1], clip.flow_bw[t])
+            m = clip.valid[t]
+            err = float((jnp.abs(w - clip.clean[t]) * m).sum()
+                        / (m.sum() * 3 + 1e-8))
+            assert err < 0.02, f"frame {t}: layered flow not exact ({err})"
+
+    def test_excluded_pixels_really_mismatch(self, clip):
+        """The in-bounds pixels valid excludes carry a larger warp residual
+        than the valid ones — the mask hides real occlusion, not noise."""
+        num_v = num_x = den_v = den_x = 0.0
+        for t in range(1, self.T):
+            w = flow_warp(clip.clean[t - 1], clip.flow_bw[t])
+            r = jnp.abs(w - clip.clean[t])
+            inb = warp_valid_mask(clip.flow_bw[t], self.H, self.W)
+            v = clip.valid[t]
+            x = inb * (1 - v)                            # excluded in-bounds
+            num_v += float((r * v).sum()); den_v += float(v.sum())
+            num_x += float((r * x).sum()); den_x += float(x.sum())
+        assert den_x > 0
+        assert num_x / den_x > 3 * (num_v / den_v)
+
+    def test_legacy_mode_valid_is_inbounds(self):
+        clip = make_clip(jax.random.key(5), 4, 32, 40, p_layer=0.0,
+                         corr_flicker=False)
+        for t in range(1, 4):
+            inb = warp_valid_mask(clip.flow_bw[t], 32, 40)
+            assert np.array_equal(np.asarray(clip.valid[t]),
+                                  np.asarray(inb))
+
+    def test_corr_flicker_series_bounded(self):
+        from deflicker_tpu.train.synth import _corr_flicker_series
+
+        s = _corr_flicker_series(jax.random.key(3), 8, 0.25)
+        assert s.shape == (8, 1, 1, 3)
+        assert float(jnp.abs(s).max()) <= 0.25
+        # different keys give different series (rho and innovations vary)
+        s2 = _corr_flicker_series(jax.random.key(4), 8, 0.25)
+        assert float(jnp.abs(s - s2).max()) > 1e-3
 
 
 class TestImageClips:
@@ -87,10 +167,23 @@ class TestImageClips:
         clip = make_image_clip(jax.random.key(3), tex, 5, 32, 32)
         for t in range(1, 5):
             w = flow_warp(clip.clean[t - 1], clip.flow_bw[t])
-            m = warp_valid_mask(clip.flow_bw[t], 32, 32)
+            m = clip.valid[t]
             err = float((jnp.abs(w - clip.clean[t]) * m).sum()
                         / (m.sum() * 3))
-            assert err < 0.01, f"frame {t}: err {err}"
+            assert err < 0.02, f"frame {t}: err {err}"
+
+    def test_image_clip_layered_flow_exact(self):
+        from deflicker_tpu.train.synth import make_image_clip
+
+        tex = self._smooth_texture()
+        clip = make_image_clip(jax.random.key(9), tex, 5, 32, 32,
+                               p_layer=1.0)
+        for t in range(1, 5):
+            w = flow_warp(clip.clean[t - 1], clip.flow_bw[t])
+            m = clip.valid[t]
+            err = float((jnp.abs(w - clip.clean[t]) * m).sum()
+                        / (m.sum() * 3 + 1e-8))
+            assert err < 0.02, f"frame {t}: err {err}"
 
     def test_bank_mixing_branches(self):
         """Both lax.cond branches (Fourier / image bank) produce identical
@@ -107,6 +200,7 @@ class TestImageClips:
                 jax.random.key(1))
             assert out.clean.shape == (2, 3, 32, 32, 3)
             assert out.flow_bw.shape == (2, 3, 32, 32, 2)
+            assert out.valid.shape == (2, 3, 32, 32, 1)
             assert float(out.clean.min()) >= 0.0
         b, cfg0 = _prep_bank(TrainConfig(height=32, width=32,
                                          dtype="float32"), None)
