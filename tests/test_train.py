@@ -275,6 +275,33 @@ class TestTraining:
         assert all(np.isfinite(list(r.values())).all() for r in logs)
         assert logs[-1]["total"] < logs[0]["total"]
 
+    def test_shipped_weights_deflicker_heldout_clip(self):
+        """The SHIPPED checkpoints (pretrained_weights/*.ckpt) must load
+        and actually deflicker: on a tiny held-out synthetic clip the UNet
+        output's PSNR-to-clean must clearly beat the flickered input's.
+        Guards against corrupt/regressed weight files riding along in the
+        repo (convs are size-agnostic, so a 48x48 clip exercises the real
+        128x128-trained weights cheaply)."""
+        from pathlib import Path
+
+        from deflicker_tpu.filter.engine import filter_frames, load_filter_engine
+        from deflicker_tpu.metrics import psnr
+        from deflicker_tpu.train.synth import make_clip
+
+        wdir = Path(__file__).resolve().parents[1] / "pretrained_weights"
+        if not (wdir / "neural_filter.ckpt").exists():
+            pytest.skip("shipped weights not present")
+        eng = load_filter_engine(wdir / "neural_filter.ckpt",
+                                 wdir / "local_refinement_net.ckpt")
+        clip = make_clip(jax.random.key(77_000), 4, 48, 48, p_layer=0.0,
+                         corr_flicker=False)
+        P = np.asarray(jnp.clip(
+            filter_frames(eng.filter_variables, clip.inp, clip.atlas), 0, 1))
+        p_in = psnr(np.asarray(clip.inp), np.asarray(clip.clean))
+        p_out = psnr(P, np.asarray(clip.clean))
+        assert p_out > p_in + 3.0, (
+            f"shipped weights do not deflicker: {p_in:.2f} -> {p_out:.2f} dB")
+
     def test_train_stage2_checkpoints_load_into_engine(self, tmp_path):
         from deflicker_tpu.filter.engine import load_filter_engine
 
