@@ -597,7 +597,7 @@ def bench_batch(n_clips=3, iters=None, parallel=False):
 
 
 def bench_trained_stage2(n_clips=8, T=12, H=128, W=128,
-                         weights_dir="pretrained_weights", dist="layered"):
+                         weights_dir="pretrained_weights", dist="legacy"):
     """Quality of the in-framework-trained stage-2 networks on HELD-OUT
     synthetic clips (train/synth.py keys disjoint from the training stream):
     PSNR to the clean ground truth and exact-flow temporal error for the
@@ -606,9 +606,9 @@ def bench_trained_stage2(n_clips=8, T=12, H=128, W=128,
     artifact (real-video quality additionally measured by `e2e` once the
     trained checkpoints are in place).
 
-    dist: "layered" = current defaults (fg layer p=0.5, AR(1) flicker);
-    "legacy" = the round-3 affine-only distribution (p_layer=0, iid) —
-    keeps the pre-knee schedule history comparable."""
+    dist: "legacy" (default) = the affine/iid distribution the shipped
+    weights train on; "layered" = the harder fold (fg layer p=0.5, AR(1)
+    flicker) from the round-3 distribution study."""
     import jax
     import jax.numpy as jnp
 
@@ -619,7 +619,8 @@ def bench_trained_stage2(n_clips=8, T=12, H=128, W=128,
     from deflicker_tpu.train.synth import make_clip
 
     wdir = Path(weights_dir)
-    kw = {} if dist == "layered" else {"p_layer": 0.0, "corr_flicker": False}
+    kw = ({"p_layer": 0.5, "corr_flicker": True} if dist == "layered"
+          else {})                       # defaults ARE the legacy dist
 
     def temporal_err(x, clip):                      # x: (T,H,W,3) f32
         errs = []

@@ -33,11 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "long runs (constant-LR Adam plateaus at an "
                         "LR-bound noise floor)")
     p.add_argument("--temporal_weight", type=float, default=2.0)
-    p.add_argument("--p_layer", type=float, default=0.5,
+    p.add_argument("--p_layer", type=float, default=0.0,
                    help="probability of an independently-moving foreground "
-                        "layer per clip (0 = legacy affine-only clips)")
-    p.add_argument("--iid_flicker", action="store_true",
-                   help="legacy iid flicker instead of the AR(1) series")
+                        "layer per clip (occlusion-bearing layered flow; "
+                        "default 0 = the shipped-weight recipe)")
+    p.add_argument("--corr_flicker", action="store_true",
+                   help="AR(1)-correlated flicker series instead of iid "
+                        "(for drifting-exposure footage)")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--seed", type=int, default=0)
@@ -65,7 +67,7 @@ def main(argv=None) -> int:
                       temporal_weight=args.temporal_weight,
                       texture_mix=args.texture_mix,
                       p_layer=args.p_layer,
-                      corr_flicker=not args.iid_flicker,
+                      corr_flicker=args.corr_flicker,
                       dtype=args.dtype, seed=args.seed,
                       steps_per_call=args.steps_per_call)
     bank = None

@@ -57,9 +57,11 @@ class TrainConfig:
     lr_schedule: str = "constant"  # "constant" | "cosine" (warmup + decay)
     grad_weight: float = 0.5     # filter gradient-L1 weight
     temporal_weight: float = 2.0  # refiner warp-loss weight
+    # defaults reproduce the SHIPPED weight recipe (affine/iid — measured
+    # best on the real benchmark; the breadth axes are opt-in, BASELINE.md)
     texture_mix: float = 0.5     # P(real-image clip) when a bank is given
-    p_layer: float = 0.5         # P(foreground layer per clip) — synth.py
-    corr_flicker: bool = True    # AR(1) flicker series (False: iid legacy)
+    p_layer: float = 0.0         # P(foreground layer per clip) — synth.py
+    corr_flicker: bool = False   # AR(1) flicker series (False: iid)
     dtype: str = "bfloat16"      # conv compute dtype (params stay f32)
     steps_per_call: int = 50
     seed: int = 0

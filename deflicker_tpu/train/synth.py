@@ -227,12 +227,15 @@ def make_clip(key: jax.Array, T: int, H: int, W: int,
               n_freqs: int = 48, flicker_gain: float = 0.25,
               flicker_bias: float = 0.08, local_gain: float = 0.15,
               atlas_shift: float = 0.06, atlas_warp_px: float = 2.0,
-              blur_period: float = 12.0, p_layer: float = 0.5,
-              corr_flicker: bool = True) -> Clip:
+              blur_period: float = 12.0, p_layer: float = 0.0,
+              corr_flicker: bool = False) -> Clip:
     """One training clip.  See module docstring for the construction.
 
-    p_layer=0.0 + corr_flicker=False reproduces the round-3 affine-only
-    legacy distribution exactly (valid = the in-bounds mask)."""
+    The defaults are the affine/iid distribution the SHIPPED stage-2
+    weights were trained on (valid = the in-bounds mask); p_layer > 0
+    adds the occlusion-bearing foreground layer and corr_flicker the
+    AR(1) flicker series (both measured slightly negative on the single
+    available real benchmark — BASELINE.md distribution study)."""
     (k_tex, k_cam, k_shift, k_warp, k_gain, k_bias,
      k_field, k_fg) = jax.random.split(key, 8)
     freqs, phases, amps = _texture_params(k_tex, n_freqs,
@@ -291,8 +294,8 @@ def make_clip(key: jax.Array, T: int, H: int, W: int,
 def make_image_clip(key: jax.Array, tex: jax.Array, T: int, H: int, W: int,
                     flicker_gain: float = 0.25, flicker_bias: float = 0.08,
                     local_gain: float = 0.15, atlas_shift: float = 0.06,
-                    atlas_warp_px: float = 2.0, p_layer: float = 0.5,
-                    corr_flicker: bool = True) -> Clip:
+                    atlas_warp_px: float = 2.0, p_layer: float = 0.0,
+                    corr_flicker: bool = False) -> Clip:
     """A clip whose BACKGROUND texture is a real IMAGE instead of Fourier
     features — same affine camera machinery, same exact flow, real image
     statistics.  The optional foreground layer (probability `p_layer`) is a
