@@ -667,12 +667,126 @@ def bench_trained_stage2(n_clips=8, T=12, H=128, W=128,
     return out
 
 
+def bench_gt_real(iters=None):
+    """Ground-truth deflickering quality on REAL texture.
+
+    The only real benchmark video has no clean reference, so real-footage
+    quality claims were E_warp-only (no PSNR-to-clean; BASELINE.md).  This
+    bench constructs a clean reference from the video itself:
+
+      1. run stage 1 on the real video (config 1) and adopt its atlas
+         render -- temporally consistent REAL texture by construction --
+         as the CLEAN video;
+      2. inject KNOWN flicker: iid global gain (the legacy training
+         distribution), AR(1) drifting exposure, and a spatially-smooth
+         LOCAL gain field (the paper's local-flicker case);
+      3. run the FULL pipeline on each flickered video in the same warm
+         process (identical shapes -> the fit compiles once);
+      4. report PSNR(final, clean) vs PSNR(input, clean), plus the usual
+         E_warp pair.
+
+    This is the measurement CLAUDE.md says would discriminate the shipped
+    iid/affine stage-2 weights from the broader-distribution variants:
+    the drift/local folds are real-texture footage whose flicker is NOT
+    iid-global.
+    """
+    import os
+    import tempfile
+
+    import cv2
+
+    from deflicker_tpu.api import Deflickerer
+    from deflicker_tpu.io.media import (list_frames, read_image,
+                                        video_to_frames, write_image)
+
+    video = "/root/reference/data/test/Winter_Scenes_in_Holland.mp4"
+    iters = iters or int(os.environ.get("BENCH_E2E_ITERS", 10001))
+    rng = np.random.default_rng(0)
+
+    def load_dir(d):
+        return np.stack([read_image(p) for p in list_frames(d)])
+
+    def psnr_to(a, b):
+        mse = float(np.mean((a.astype(np.float64) - b) ** 2))
+        return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+    def make_flicker(clean, kind):
+        T, H, W = clean.shape[:3]
+        if kind == "iid":
+            g = rng.uniform(0.7, 1.3, size=(T, 1, 1, 1))
+        elif kind == "drift":                  # AR(1) exposure drift
+            rho, std = 0.95, 0.15
+            a = np.zeros(T)
+            eps = rng.normal(0.0, std * np.sqrt(1 - rho**2), size=T)
+            for t in range(1, T):
+                a[t] = rho * a[t - 1] + eps[t]
+            g = np.clip(1.0 + a, 0.6, 1.4).reshape(T, 1, 1, 1)
+        elif kind == "local":                  # smooth spatial gain field
+            import cv2
+
+            low = rng.uniform(0.75, 1.25, size=(T, 6, 8)).astype(np.float32)
+            g = np.stack([cv2.resize(f, (W, H), interpolation=cv2.INTER_CUBIC)
+                          for f in low])[..., None]
+        else:
+            raise ValueError(kind)
+        return np.clip(clean * g, 0.0, 1.0).astype(np.float32)
+
+    with tempfile.TemporaryDirectory() as td:
+        root, rroot = Path(td) / "data", Path(td) / "results"
+        # Pre-downscale the decoded frames to the config-1 working
+        # resolution (full res / 4) and run EVERY pipeline below at
+        # down=1: clean-gen and all three folds then share every tensor
+        # shape, so RAFT / fit / stage-2 each pay exactly one remote
+        # compile in this warm process.
+        raw = Path(td) / "raw"
+        video_to_frames(video, raw, fps=10)
+        src = root / "gt_clean_src"
+        for p in list_frames(raw):
+            f = read_image(p)
+            h, w = f.shape[0] // 4, f.shape[1] // 4
+            write_image(cv2.resize(f, (w, h), interpolation=cv2.INTER_AREA),
+                        src / p.name)
+        d = Deflickerer(root=str(root), results_root=str(rroot))
+        m0 = d.process(frame_folder=str(src), down=1, iters=iters)
+        clean_dir = rroot / src.name / "stage_1" / "output"
+        clean = load_dir(clean_dir)
+        out = {"iters": iters, "frames": int(clean.shape[0]),
+               "shape": "x".join(str(s) for s in clean.shape[1:3]),
+               "clean_source": "stage-1 atlas render of the real video "
+                               "(temporally consistent by construction)",
+               "stage2_weights": _stage2_weights_kind(d._pipe_cfg()),
+               "cleangen_t_total": round(m0["t_total"], 1),
+               "device": _device_str(), "folds": {}}
+        for kind in ("iid", "drift", "local"):
+            fd = root / f"gt_{kind}"
+            for t, frame in enumerate(make_flicker(clean, kind)):
+                write_image(frame, fd / f"{t:05d}.png")
+            m = d.process(frame_folder=str(fd), down=1, iters=iters)
+            final = load_dir(m["final_dir"])
+            s1 = load_dir(rroot / fd.name / "stage_1" / "output")
+            flickered = load_dir(fd)
+            out["folds"][kind] = {
+                "psnr_input": round(psnr_to(flickered, clean), 2),
+                "psnr_stage1": round(psnr_to(s1, clean), 2),
+                "psnr_final": round(psnr_to(final, clean), 2),
+                "input_ewarp_x100": round(m["input_ewarp"] * 100, 3)
+                if m.get("input_ewarp") is not None else None,
+                "final_ewarp_x100": round(m["final_ewarp"] * 100, 3)
+                if m.get("final_ewarp") is not None else None,
+                "t_total": round(m["t_total"], 1),
+            }
+            print(json.dumps({kind: out["folds"][kind]}))
+    _merge({"gt_real": out})
+    return out
+
+
 BENCHES = {"raft": bench_raft, "stage2": bench_stage2, "e2e": bench_e2e,
            "torchref": bench_torchref, "jaxcpu": bench_jaxcpu,
            "corr": bench_corr, "hardening": bench_hardening,
            "batch": bench_batch,
            "batch_parallel": lambda: bench_batch(parallel=True),
-           "trained_stage2": bench_trained_stage2}
+           "trained_stage2": bench_trained_stage2,
+           "gt_real": bench_gt_real}
 
 
 if __name__ == "__main__":
