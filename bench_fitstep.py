@@ -212,6 +212,83 @@ def stash_ab():
         "device": f"{dev.platform}:{dev.device_kind}"}))
 
 
+def v2_ab():
+    """A/B the v1 vs v2 kernel bodies on the production full step (VERDICT
+    round-3 item 5: in-kernel pipelining / transpose removal is the named
+    remaining MFU lever).  v2 replaces every transposed backward operand
+    with a native-contraction dot_general and splits the skip-layer concat
+    into two matmuls — no (tile, d+E) concat buffers, no (N, tile)
+    materialized transposes (gradients match to float tolerance:
+    tests/test_pallas_imlp.py::test_v2_matches_v1).  The freed VMEM may
+    also lift the tile ceiling (2048 overflowed the 16 MB budget by only
+    1.63 MB in round 3's mapping bwd), so v2 is probed at 2048 too."""
+    import dataclasses as _dc
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deflicker_tpu.atlas.engine import (build_specs, init_models,
+                                            make_loss_fn)
+    from deflicker_tpu.config import AtlasConfig
+
+    cfg = AtlasConfig()
+    try:
+        data = real_video_data(T, H, W)
+    except Exception:
+        data = synthetic_video_data(T, H, W)
+    data = data.with_packed()
+    specs = build_specs(cfg, dual=False)
+    params0 = init_models(jax.random.key(0), specs)
+    optimizer = optax.adam(cfg.learning_rate)
+    B = cfg.samples_batch
+
+    results = {}
+    for mode, env, tile in (("v1_1792", "0", 1792),
+                            ("v2_1792", "1", 1792),
+                            ("v2_2048", "1", 2048),
+                            ("v2_2560", "1", 2560)):
+        os.environ["DEFLICKER_IMLP_V2"] = env
+        cfg_t = _dc.replace(cfg, pallas_tile=tile)
+        loss_fn = make_loss_fn(specs, cfg_t, data, include_global=True,
+                               include_bootstrap=False)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def step(carry, _, data):
+            params, opt_state, key = carry
+            key, kj, ki, kf = jax.random.split(key, 4)
+            j = jax.random.randint(kj, (B,), 0, W)
+            i = jax.random.randint(ki, (B,), 0, H)
+            f = jax.random.randint(kf, (B,), 0, T)
+            (_, aux), grads = grad_fn(params, data, j, i, f)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), aux["total"]
+
+        run = jax.jit(lambda c, d: jax.lax.scan(
+            lambda cc, x: step(cc, x, d), c, None, length=N_STEPS))
+        carry = (params0, optimizer.init(params0), jax.random.key(1))
+        try:
+            carry, out = run(carry, data)
+            float(jnp.sum(out))                     # compile + warm
+            t0 = time.perf_counter()
+            carry, out = run(carry, data)
+            float(jnp.sum(out))                     # readback barrier
+            dt = time.perf_counter() - t0
+            results[mode] = round(N_STEPS / dt, 1)
+        except Exception as e:                      # e.g. scoped-VMEM OOM
+            results[mode] = f"failed: {str(e)[:160]}"
+        print(f"  {mode}: {results[mode]}", flush=True)
+    os.environ.pop("DEFLICKER_IMLP_V2", None)
+
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "metric": "fit_step_v2_ab_its_per_sec", "per_mode": results,
+        "config": f"{T}x{H}x{W}, batch {B}, single-atlas, bf16",
+        "device": f"{dev.platform}:{dev.device_kind}"}))
+
+
 V5E_BF16_PEAK = 197e12        # TPU v5e MXU peak, bf16 multiplies (FLOP/s)
 
 
@@ -275,6 +352,8 @@ if __name__ == "__main__":
     import sys
     if "stash_ab" in sys.argv[1:]:
         stash_ab()
+    elif "v2_ab" in sys.argv[1:]:
+        v2_ab()
     elif "sol" in sys.argv[1:]:
         its = [float(a) for a in sys.argv[1:] if a.replace(".", "").isdigit()]
         sol(measured_its=its[0] if its else 323.3,

@@ -80,8 +80,11 @@ def select_imlp_apply(use_pallas: bool = False, precision: str = "highest",
         # instead of rematerializing the forward (bit-identical grads;
         # compute-vs-bandwidth experiment, bench_fitstep.py)
         stash = os.environ.get("DEFLICKER_IMLP_STASH") == "1"
+        # DEFLICKER_IMLP_V2=0 reverts to the round-3 kernel bodies
+        # (explicit transposes + skip concats) — A/B via bench_fitstep.py
+        v2 = os.environ.get("DEFLICKER_IMLP_V2", "0") == "1"
         return partial(imlp_apply_fused, tile=tile,
-                       compute_dtype=jnp.bfloat16, stash_bwd=stash)
+                       compute_dtype=jnp.bfloat16, stash_bwd=stash, v2=v2)
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
     return partial(imlp_apply, precision=prec)

@@ -57,6 +57,25 @@ def _prec_for(cdt):
     return _PREC if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
 
 
+def _dot_tl(a, b, cdt):
+    """aᵀ @ b WITHOUT an explicit transpose: dot_general contracting dim 0
+    of both operands feeds the MXU transposed directly (the jnp.dot(a.T, b)
+    spelling materializes a (N, tile) transpose first — a real VPU pass per
+    layer per tile in the backward)."""
+    return jax.lax.dot_general(a.astype(cdt), b.astype(cdt),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_prec_for(cdt))
+
+
+def _dot_tr(a, b, cdt):
+    """a @ bᵀ without an explicit transpose (contract dim 1 with dim 1)."""
+    return jax.lax.dot_general(a.astype(cdt), b.astype(cdt),
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_prec_for(cdt))
+
+
 def fused_imlp_available() -> bool:
     return _PALLAS_OK and jax.default_backend() == "tpu"
 
@@ -69,7 +88,27 @@ def _round_up(x: int, m: int) -> int:
 # kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
+def _layer_fwd(spec, i, h, x, W, b, cdt, v2):
+    """One layer's matmul(+bias), with the skip-input concat either
+    materialized (v1) or algebraically split into two matmuls (v2:
+    dot([h, x], W) == dot(h, W[:d]) + dot(x, W[d:]) — no (tile, d+E)
+    concat buffer; float-equal up to one extra partial-sum rounding)."""
+    if i in spec.skip_layers:
+        if v2:
+            d_h = h.shape[1]
+            return (jnp.dot(h.astype(cdt), W[:d_h].astype(cdt),
+                            preferred_element_type=jnp.float32,
+                            precision=_prec_for(cdt))
+                    + jnp.dot(x.astype(cdt), W[d_h:].astype(cdt),
+                              preferred_element_type=jnp.float32,
+                              precision=_prec_for(cdt)) + b)
+        h = jnp.concatenate([h, x], axis=-1)
+    return jnp.dot(h.astype(cdt), W.astype(cdt),
+                   preferred_element_type=jnp.float32,
+                   precision=_prec_for(cdt)) + b
+
+
+def _fwd_kernel(spec: IMLPSpec, n_layers: int, cdt, v2, *refs):
     """refs = [x_ref, W0, b0, W1, b1, ..., out_ref].  cdt = multiply dtype
     (f32 -> full precision; bf16 -> 4x MXU rate, f32 accumulation)."""
     x_ref = refs[0]
@@ -81,15 +120,11 @@ def _fwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
         b = refs[2 + 2 * i][...]
         if i > 0:
             h = jnp.maximum(h, 0.0)
-        if i in spec.skip_layers:
-            h = jnp.concatenate([h, x], axis=-1)
-        h = jnp.dot(h.astype(cdt), W.astype(cdt),
-                    preferred_element_type=jnp.float32,
-                    precision=_prec_for(cdt)) + b
+        h = _layer_fwd(spec, i, h, x, W, b, cdt, v2)
     out_ref[...] = h
 
 
-def _bwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
+def _bwd_kernel(spec: IMLPSpec, n_layers: int, cdt, v2, *refs):
     """refs = [x_ref, W0, b0, ..., g_ref]  +  outputs [dx_ref, dW0, db0, ...].
 
     Recomputes the forward for the tile, then reverse-accumulates.  dW/db
@@ -119,41 +154,63 @@ def _bwd_kernel(spec: IMLPSpec, n_layers: int, cdt, *refs):
         if i > 0:
             h = jnp.maximum(h, 0.0)
             stash[i] = h.astype(cdt)
-        if i in spec.skip_layers:
-            h = jnp.concatenate([h, x], axis=-1)
-        h = jnp.dot(h.astype(cdt), W.astype(cdt),
-                    preferred_element_type=jnp.float32,
-                    precision=_prec_for(cdt)) + b
+        h = _layer_fwd(spec, i, h, x, W, b, cdt, v2)
 
-    outs[0][...] = _reverse_pass(spec, n_layers, cdt, refs[1:], outs,
+    outs[0][...] = _reverse_pass(spec, n_layers, cdt, v2, refs[1:], outs,
                                  xc, stash, g_ref[...])
 
 
-def _reverse_pass(spec: IMLPSpec, n_layers: int, cdt, w_refs, outs,
+def _reverse_pass(spec: IMLPSpec, n_layers: int, cdt, v2, w_refs, outs,
                   xc, stash, g):
     """Shared reverse accumulation: given post-relu/pre-concat activations
     `stash` (stash[0] unused — layer 0 reads `xc`), walk the chain backward
-    and accumulate dW/db into the output blocks."""
+    and accumulate dW/db into the output blocks.
+
+    v2 replaces every transposed operand with a native-contraction
+    dot_general (_dot_tl/_dot_tr — no materialized transposes) and splits
+    the skip layers' dW into two matmuls, which also lets the dropped skip
+    branch's input gradient never be computed at all (the v1 path computes
+    the full (tile, d+E) gradient and slices it away)."""
     is_first = pl.program_id(0) == 0
     dx = None
     for i in reversed(range(n_layers)):
-        if i == 0:
-            a_in = xc
-        elif i in spec.skip_layers:
-            a_in = jnp.concatenate([stash[i], xc], axis=-1)
-        else:
-            a_in = stash[i]
-        dW = jnp.dot(a_in.T.astype(cdt), g.astype(cdt),
-                     preferred_element_type=jnp.float32,
-                     precision=_prec_for(cdt))
-        db = jnp.sum(g, axis=0, keepdims=True)
         W = w_refs[2 * i][...]
-        g = jnp.dot(g.astype(cdt), W.T.astype(cdt),
-                    preferred_element_type=jnp.float32,
-                    precision=_prec_for(cdt))
-        if i in spec.skip_layers:
-            # drop the skip branch's gradient (stop_gradient semantics)
-            g = g[:, :stash[i].shape[1]]
+        db = jnp.sum(g, axis=0, keepdims=True)
+        if v2:
+            if i == 0:
+                a_h = xc
+            elif i in spec.skip_layers:
+                a_h = stash[i]
+                d_h = a_h.shape[1]
+                # dot([a_h, x]ᵀ, g) == [dot(a_hᵀ, g); dot(xᵀ, g)] exactly
+                # (independent output rows — no partial-sum split)
+                dW = jnp.concatenate([_dot_tl(a_h, g, cdt),
+                                      _dot_tl(xc, g, cdt)], axis=0)
+            else:
+                a_h = stash[i]
+            if i not in spec.skip_layers:
+                dW = _dot_tl(a_h, g, cdt)
+            # stop_gradient skip semantics: backprop only through W's
+            # kept-branch rows — the dropped branch's gradient is never
+            # computed (v1 computes it and slices it away)
+            Wk = W[:a_h.shape[1]] if i in spec.skip_layers else W
+            g = _dot_tr(g, Wk, cdt)
+        else:
+            if i == 0:
+                a_in = xc
+            elif i in spec.skip_layers:
+                a_in = jnp.concatenate([stash[i], xc], axis=-1)
+            else:
+                a_in = stash[i]
+            dW = jnp.dot(a_in.T.astype(cdt), g.astype(cdt),
+                         preferred_element_type=jnp.float32,
+                         precision=_prec_for(cdt))
+            g = jnp.dot(g.astype(cdt), W.T.astype(cdt),
+                        preferred_element_type=jnp.float32,
+                        precision=_prec_for(cdt))
+            if i in spec.skip_layers:
+                # drop the skip branch's gradient (stop_gradient semantics)
+                g = g[:, :stash[i].shape[1]]
         if i > 0:
             # relu mask wrt the PRE-relu activation: the stash is
             # post-relu, so mask = stash > 0 (f32 compare — Mosaic lacks
@@ -177,7 +234,7 @@ def _reverse_pass(spec: IMLPSpec, n_layers: int, cdt, w_refs, outs,
     return dx
 
 
-def _fwd_kernel_stash(spec: IMLPSpec, n_layers: int, cdt, *refs):
+def _fwd_kernel_stash(spec: IMLPSpec, n_layers: int, cdt, v2, *refs):
     """Forward that additionally WRITES the backward's activation stash to
     HBM: refs = [x, (W, b)*n, out, s1..s_{n-1}].  The chain itself is
     numerically identical to `_fwd_kernel` (f32 accumulators carry layer
@@ -194,15 +251,11 @@ def _fwd_kernel_stash(spec: IMLPSpec, n_layers: int, cdt, *refs):
         if i > 0:
             h = jnp.maximum(h, 0.0)
             stash_refs[i - 1][...] = h.astype(cdt)
-        if i in spec.skip_layers:
-            h = jnp.concatenate([h, x], axis=-1)
-        h = jnp.dot(h.astype(cdt), W.astype(cdt),
-                    preferred_element_type=jnp.float32,
-                    precision=_prec_for(cdt)) + b
+        h = _layer_fwd(spec, i, h, x, W, b, cdt, v2)
     out_ref[...] = h
 
 
-def _bwd_kernel_stash(spec: IMLPSpec, n_layers: int, cdt, *refs):
+def _bwd_kernel_stash(spec: IMLPSpec, n_layers: int, cdt, v2, *refs):
     """Backward that READS the forward's stashed activations instead of
     recomputing the chain (trades ~n_layers tile-matmuls of recompute for
     streaming the stash back through VMEM): refs = [x, (W, b)*n, g,
@@ -215,7 +268,7 @@ def _bwd_kernel_stash(spec: IMLPSpec, n_layers: int, cdt, *refs):
 
     xc = x_ref[...].astype(cdt)
     stash = [None] + [r[...] for r in stash_refs]
-    outs[0][...] = _reverse_pass(spec, n_layers, cdt, refs[1:], outs,
+    outs[0][...] = _reverse_pass(spec, n_layers, cdt, v2, refs[1:], outs,
                                  xc, stash, g_ref[...])
 
 
@@ -231,10 +284,12 @@ def _pack(params) -> Sequence[jax.Array]:
     return flat
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _chain(packed: Tuple[jax.Array, ...], xe: jax.Array, spec: IMLPSpec,
-           tile: int, interpret: bool, compute_dtype=jnp.float32) -> jax.Array:
-    return _chain_fwd(packed, xe, spec, tile, interpret, compute_dtype)[0]
+           tile: int, interpret: bool, compute_dtype=jnp.float32,
+           v2: bool = False) -> jax.Array:
+    return _chain_fwd(packed, xe, spec, tile, interpret, compute_dtype,
+                      v2)[0]
 
 
 def _cast_weights(packed, cdt):
@@ -266,7 +321,8 @@ def _stash_dims(packed) -> Sequence[int]:
             for i in range(1, len(packed) // 2)]
 
 
-def _call_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32):
+def _call_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32,
+              v2=False):
     n_layers = len(packed) // 2
     B, E = xe.shape
     O = packed[-2].shape[1]
@@ -277,7 +333,7 @@ def _call_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32):
     in_specs += _weight_specs(packed, n_layers)
     out_spec = pl.BlockSpec((tile, O), lambda t: (t, 0),
                             memory_space=pltpu.VMEM)
-    kern = functools.partial(_fwd_kernel, spec, n_layers, compute_dtype)
+    kern = functools.partial(_fwd_kernel, spec, n_layers, compute_dtype, v2)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -288,8 +344,9 @@ def _call_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32):
     )(xe, *packed)
 
 
-def _chain_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32):
-    y = _call_fwd(packed, xe, spec, tile, interpret, compute_dtype)
+def _chain_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32,
+               v2=False):
+    y = _call_fwd(packed, xe, spec, tile, interpret, compute_dtype, v2)
     return y, (packed, xe)
 
 
@@ -311,7 +368,7 @@ def _grad_out_specs(packed, n_layers, tile, B, E):
     return out_shapes, out_specs
 
 
-def _chain_bwd(spec, tile, interpret, compute_dtype, res, g):
+def _chain_bwd(spec, tile, interpret, compute_dtype, v2, res, g):
     packed, xe = res
     n_layers = len(packed) // 2
     B, E = xe.shape
@@ -327,7 +384,7 @@ def _chain_bwd(spec, tile, interpret, compute_dtype, res, g):
 
     out_shapes, out_specs = _grad_out_specs(packed, n_layers, tile, B, E)
 
-    kern = functools.partial(_bwd_kernel, spec, n_layers, compute_dtype)
+    kern = functools.partial(_bwd_kernel, spec, n_layers, compute_dtype, v2)
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -346,16 +403,16 @@ _chain.defvjp(_chain_fwd, _chain_bwd)
 
 # --- stash mode: forward writes the activation stash, backward reads it ---
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _chain_stash(packed: Tuple[jax.Array, ...], xe: jax.Array,
                  spec: IMLPSpec, tile: int, interpret: bool,
-                 compute_dtype=jnp.float32) -> jax.Array:
+                 compute_dtype=jnp.float32, v2: bool = False) -> jax.Array:
     return _chain_stash_fwd(packed, xe, spec, tile, interpret,
-                            compute_dtype)[0]
+                            compute_dtype, v2)[0]
 
 
 def _chain_stash_fwd(packed, xe, spec, tile, interpret,
-                     compute_dtype=jnp.float32):
+                     compute_dtype=jnp.float32, v2=False):
     n_layers = len(packed) // 2
     B, E = xe.shape
     O = packed[-2].shape[1]
@@ -375,7 +432,7 @@ def _chain_stash_fwd(packed, xe, spec, tile, interpret,
                                       memory_space=pltpu.VMEM))
 
     kern = functools.partial(_fwd_kernel_stash, spec, n_layers,
-                             compute_dtype)
+                             compute_dtype, v2)
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -387,7 +444,7 @@ def _chain_stash_fwd(packed, xe, spec, tile, interpret,
     return outs[0], (packed, xe, tuple(outs[1:]))
 
 
-def _chain_stash_bwd(spec, tile, interpret, compute_dtype, res, g):
+def _chain_stash_bwd(spec, tile, interpret, compute_dtype, v2, res, g):
     packed, xe, stash = res
     n_layers = len(packed) // 2
     B, E = xe.shape
@@ -407,7 +464,7 @@ def _chain_stash_bwd(spec, tile, interpret, compute_dtype, res, g):
     out_shapes, out_specs = _grad_out_specs(packed, n_layers, tile, B, E)
 
     kern = functools.partial(_bwd_kernel_stash, spec, n_layers,
-                             compute_dtype)
+                             compute_dtype, v2)
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -427,7 +484,8 @@ _chain_stash.defvjp(_chain_stash_fwd, _chain_stash_bwd)
 def fused_imlp_linear_chain(params, xe: jax.Array, spec: IMLPSpec,
                             tile: int = 512, interpret: bool = False,
                             compute_dtype=jnp.float32,
-                            stash_bwd: bool = False) -> jax.Array:
+                            stash_bwd: bool = False,
+                            v2: bool = False) -> jax.Array:
     """Fused linear-relu(-skip) chain on PRE-ENCODED input xe (B, E).
 
     Returns the pre-tanh output (B, output_dim).  Pads the batch to a tile
@@ -449,5 +507,6 @@ def fused_imlp_linear_chain(params, xe: jax.Array, spec: IMLPSpec,
     if Bp != B:
         xe = jnp.pad(xe, ((0, Bp - B), (0, 0)))
     fn = _chain_stash if stash_bwd else _chain
-    y = fn(tuple(_pack(params)), xe, spec, tile, interpret, compute_dtype)
+    y = fn(tuple(_pack(params)), xe, spec, tile, interpret, compute_dtype,
+           v2)
     return y[:B]

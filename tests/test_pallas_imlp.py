@@ -96,6 +96,35 @@ def test_stash_bwd_matches_remat(name):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("name", list(SPECS))
+def test_v2_matches_v1(name):
+    """The v2 kernel bodies (native-contraction dot_generals, split-skip
+    matmuls — no in-kernel transposes or concats) must match the v1 path's
+    forward and gradients to float tolerance (the skip-layer forward split
+    changes one partial-sum rounding; everything else is the same math)."""
+    spec = SPECS[name]
+    params = imlp_init(jax.random.key(4), spec)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(-1, 1, (256, spec.input_dim)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(-1, 1, (256, spec.output_dim)).astype(np.float32))
+
+    def loss(v2):
+        def f(p, xx):
+            xe = _encoded(spec, xx)
+            y = jnp.tanh(fused_imlp_linear_chain(p, xe, spec, tile=128,
+                                                 interpret=True, v2=v2))
+            return jnp.mean((y - tgt) ** 2)
+        return f
+
+    (l_1, g_1) = jax.value_and_grad(loss(False), argnums=(0, 1))(params, x)
+    (l_2, g_2) = jax.value_and_grad(loss(True), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(float(l_2), float(l_1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_2),
+                    jax.tree_util.tree_leaves(g_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
 def test_batch_padding():
     spec = SPECS["mapping"]
     params = imlp_init(jax.random.key(2), spec)
