@@ -133,7 +133,7 @@ def run_batch_parallel(videos, args, atlas_cfg, mesh=None) -> dict:
             [(frames_dirs[i],
               results_root / frames_dirs[i].name / "stage_1" / "output",
               results_root / frames_dirs[i].name) for i in idxs],
-            fps=args.fps)
+            fps=args.fps, return_output=False)
 
     total_frames = 0
     for i in range(len(frames_dirs)):

@@ -124,6 +124,42 @@ def refine_span(variables: Dict, carry, preds: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("dtype", "mesh"))
+def refine_span_multi(variables: Dict, carry, preds: jax.Array,
+                      n_valid: jax.Array, dtype=jnp.float32, mesh=None):
+    """A SPAN of the multi-video refinement recurrence (streaming analog of
+    `refine_sequence_multi`, the V-video generalization of `refine_span`).
+
+    The V videos advance in lockstep — each scan step batches V frames
+    through TransformNet — while the caller threads carry across spans so
+    HBM holds one (V, S) window, never (V, T).  `n_valid` is PER VIDEO
+    ((V,) int32): videos of differing length pad their tail spans, and each
+    video's carry freezes independently at its last real frame, so padding
+    never leaks into a shorter video's recurrence.
+
+    preds: (V, S, H, W, 3).  Returns (new_carry, refined (V, S, H, W, 3)).
+    """
+    from ..parallel import shard_constraint
+
+    net = TransformNet(nf=32, blocks=5, nc_out=3, dtype=dtype)
+
+    def step(c, x):                            # p_t: (V, H, W, 3)
+        p_t, t = x
+        o_prev, p_prev = c
+        inp = jnp.concatenate([p_t, o_prev, p_t, p_prev], axis=-1)
+        inp = shard_constraint(inp, mesh)
+        resid = net.apply(variables, inp.astype(dtype)).astype(jnp.float32)
+        o_t = p_t + resid
+        keep = (t < n_valid)[:, None, None, None]
+        c = (jnp.where(keep, o_t, o_prev), jnp.where(keep, p_t, p_prev))
+        return c, o_t
+
+    seq = jnp.swapaxes(preds, 0, 1)            # (S, V, H, W, 3)
+    ts = jnp.arange(seq.shape[0])
+    carry, out = jax.lax.scan(step, carry, (seq, ts))
+    return carry, jnp.swapaxes(out, 0, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "mesh"))
 def refine_sequence_multi(variables: Dict, preds: jax.Array,
                           dtype=jnp.float32, mesh=None) -> jax.Array:
     """Multi-video refinement: same recurrence, V videos advance in
@@ -195,41 +231,6 @@ class FilterEngine:
                 s = cv2.resize(s, (W, H), interpolation=cv2.INTER_LINEAR)
             style[t] = s
         return content, style
-
-    @classmethod
-    def _load_video(cls, content_dir, style_dir):
-        """Whole-video load (run_multi path). Returns (T, H, W, 3) pairs."""
-        content_names = list_frames(content_dir)
-        style_names = list_frames(style_dir)
-        assert len(content_names) == len(style_names), (
-            f"{len(content_names)} content vs {len(style_names)} style frames")
-        H, W = read_image(content_names[0]).shape[:2]
-        return cls._load_span(content_names, style_names, 0,
-                              len(content_names), H, W)
-
-    def _save_outputs(self, content, style, preds, refined, results_dir,
-                      fps, save_concat):
-        """PNG + mp4 artifact set (all arrays uint8), resizing padded
-        outputs back to the original size (the reference's
-        unpad-by-resize quirk)."""
-        import cv2
-
-        results_dir = Path(results_dir)
-        concat_dir = results_dir / "neural_filter" / "concat"
-        filter_dir = results_dir / "neural_filter" / "output"
-        final_dir = results_dir / "final" / "output"
-        T, H, W = content.shape[:3]
-        for t in range(T):
-            p = cv2.resize(preds[t], (W, H), interpolation=cv2.INTER_LINEAR)
-            o = cv2.resize(refined[t], (W, H), interpolation=cv2.INTER_LINEAR)
-            write_image(p, filter_dir / f"{t:05d}.png")
-            write_image(o, final_dir / f"{t:05d}.png")
-            if save_concat:
-                write_image(np.concatenate([content[t], style[t], p], axis=1),
-                            concat_dir / f"{t:05d}.png")
-        for d in (([concat_dir] if save_concat else [])
-                  + [filter_dir, final_dir]):
-            frames_to_video(d, d.parent / (d.name + ".mp4"), fps=fps)
 
     def _filter_all(self, content: np.ndarray, style: np.ndarray,
                     padder: Padder) -> jax.Array:
@@ -376,46 +377,141 @@ class FilterEngine:
             frames_to_video(d, d.parent / (d.name + ".mp4"), fps=fps)
         return np.concatenate(outputs, axis=0) if return_output else None
 
-    def run_multi(self, jobs, fps: int = 10, save_concat: bool = True):
-        """Stage 2 over several same-resolution videos: UNet filtering is
-        already frame-batched; the sequential refinement recurrence advances
-        ALL videos in lockstep (refine_sequence_multi), turning the
-        batch-1 ConvLSTM scan into a batch-V one.
+    def run_multi(self, jobs, fps: int = 10, save_concat: bool = True,
+                  return_output: bool = True):
+        """Stage 2 over several same-resolution videos — STREAMING lockstep.
+
+        Same three overlapped stages as `run` (reader thread / device
+        compute / writer thread), with the V videos advancing through the
+        refinement recurrence in lockstep spans (`refine_span_multi`):
+        UNet filtering batches V·span frames per dispatch, and each scan
+        step pushes V frames through TransformNet instead of one.  Host
+        RAM and HBM hold a few (V, span) windows, never a whole video —
+        the round-2 design loaded every video f32 on host and stacked the
+        full (V, T, Hp, Wp, 3) tensor in HBM, the exact OOM hazard `run`
+        fixed for the single-video path.
 
         jobs: list of (content_dir, style_dir, results_dir).  Videos of
-        differing length are padded to the longest (repeat last filtered
-        frame; the recurrence only flows forward, so padding never leaks
-        into a video's real frames).
+        differing length idle on their last frame once ended; each video's
+        recurrence carry freezes independently (n_valid in
+        refine_span_multi), so padding never leaks into real frames.
+        Pass return_output=False for long videos (cli.batch does) to skip
+        host-side accumulation of the refined frames.
         """
-        vids = [self._load_video(c, s) for c, s, _ in jobs]
-        shapes = {v[0].shape[1:3] for v in vids}
+        from concurrent.futures import ThreadPoolExecutor
+
+        metas = []
+        for c, s, r in jobs:
+            cn, sn = list_frames(c), list_frames(s)
+            assert len(cn) == len(sn), (
+                f"{len(cn)} content vs {len(sn)} style frames ({c})")
+            metas.append((cn, sn, Path(r)))
+        V = len(metas)
+        Ts = [len(cn) for cn, _, _ in metas]
+        shapes = {read_image(cn[0]).shape[:2] for cn, _, _ in metas}
         if len(shapes) != 1:
             raise ValueError(f"run_multi needs same-resolution videos, "
                              f"got {shapes} (group by shape first)")
         H, W = shapes.pop()
         padder = Padder(H, W, divisor=32, mode="other")
-        preds = [self._filter_all(c, s, padder) for c, s in vids]  # device
-
-        T_max = max(p.shape[0] for p in preds)
-        preds_v = jnp.stack([
-            jnp.concatenate([p, jnp.repeat(p[-1:], T_max - p.shape[0],
-                                           axis=0)])
-            if p.shape[0] != T_max else p for p in preds])
+        S = self.span
+        T_max = max(Ts)
+        spans = [(s0, min(T_max, s0 + S)) for s0 in range(0, T_max, S)]
         mesh = (self.mesh if self.mesh is not None
-                and len(jobs) % self.mesh.size == 0 else None)
-        refined_v = refine_sequence_multi(
-            self.local_variables, preds_v, dtype=self.dtype, mesh=mesh)
+                and V % self.mesh.size == 0 else None)
+
+        def load_span(s0, s1):
+            import cv2
+
+            n = s1 - s0
+            content = np.zeros((V, n, H, W, 3), np.uint8)
+            style = np.zeros((V, n, H, W, 3), np.uint8)
+            for v, (cn, sn, _) in enumerate(metas):
+                for j in range(n):
+                    # ended videos idle on their last frame (frozen carry
+                    # makes the computed output for them dead anyway)
+                    t = min(s0 + j, Ts[v] - 1)
+                    content[v, j] = self._read_u8(cn[t])
+                    si = self._read_u8(sn[t])
+                    if si.shape[:2] != (H, W):
+                        si = cv2.resize(si, (W, H),
+                                        interpolation=cv2.INTER_LINEAR)
+                    style[v, j] = si
+            return content, style
+
+        reader = ThreadPoolExecutor(max_workers=1)
+        writer = ThreadPoolExecutor(max_workers=1)
+        pending = []
+        outputs = [[] for _ in range(V)] if return_output else None
+        try:
+            nxt = reader.submit(load_span, *spans[0])
+            carry = None
+            for k, (s0, s1) in enumerate(spans):
+                content, style = nxt.result()
+                if k + 1 < len(spans):
+                    nxt = reader.submit(load_span, *spans[k + 1])
+                n = s1 - s0
+                flat = self._filter_all(content.reshape(V * n, H, W, 3),
+                                        style.reshape(V * n, H, W, 3),
+                                        padder)
+                preds = flat.reshape(V, n, *flat.shape[1:])
+                if carry is None:
+                    p0 = preds[:, 0]           # O_0 = P_0 per video
+                    carry = (p0, p0)
+                    body, offset = preds[:, 1:], 1
+                else:
+                    body, offset = preds, 0
+                nb = int(body.shape[1])
+                if nb:
+                    body_p = (body if nb == S else jnp.concatenate(
+                        [body, jnp.repeat(body[:, -1:], S - nb, axis=1)],
+                        axis=1))
+                    # clip per-video validity to the REAL body frames of
+                    # this span (nb, not S): tail-padding frames must never
+                    # advance any video's carry, even one whose own frames
+                    # continue into the next span
+                    nv = np.clip(np.asarray(Ts) - (s0 + offset), 0,
+                                 nb).astype(np.int32)
+                    carry, out = refine_span_multi(
+                        self.local_variables, carry, body_p,
+                        jnp.asarray(nv), dtype=self.dtype, mesh=mesh)
+                    refined = out[:, :nb]
+                else:
+                    refined = body
+                if offset:
+                    refined = jnp.concatenate([preds[:, :1], refined],
+                                              axis=1)
+                preds_u8 = np.asarray(_to_u8(preds))
+                refined_u8 = np.asarray(_to_u8(refined))
+                while len(pending) > 2 * V:
+                    pending.pop(0).result()
+                for v, (_, _, rdir) in enumerate(metas):
+                    nreal = min(Ts[v], s1) - s0
+                    if nreal <= 0:
+                        continue                # this video already ended
+                    pending.append(writer.submit(
+                        self._write_span, s0, content[v, :nreal],
+                        style[v, :nreal], preds_u8[v, :nreal],
+                        refined_u8[v, :nreal], rdir, save_concat, (W, H)))
+                    if return_output:
+                        outputs[v].append(np.asarray(refined[v, :nreal]))
+            for f in pending:
+                f.result()
+        finally:
+            reader.shutdown(wait=False)
+            writer.shutdown(wait=True)
 
         out = []
-        for v, ((content, style), (_, _, results_dir)) in enumerate(
-                zip(vids, jobs)):
-            T = content.shape[0]
-            self._save_outputs(content, style,
-                               np.asarray(_to_u8(preds[v])),
-                               np.asarray(_to_u8(refined_v[v, :T])),
-                               results_dir, fps, save_concat)
-            out.append(np.asarray(refined_v[v, :T]))
-        return out
+        for v, (_, _, rdir) in enumerate(metas):
+            dirs = ([rdir / "neural_filter" / "concat"] if save_concat
+                    else [])
+            dirs += [rdir / "neural_filter" / "output",
+                     rdir / "final" / "output"]
+            for d in dirs:
+                frames_to_video(d, d.parent / (d.name + ".mp4"), fps=fps)
+            if return_output:
+                out.append(np.concatenate(outputs[v], axis=0))
+        return out if return_output else None
 
 
 def _resolve_ckpt(path: Optional[str | Path]) -> Optional[Path]:

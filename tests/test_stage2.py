@@ -224,6 +224,46 @@ class TestFilterEngine:
                                / f"{t:05d}.png"))
             np.testing.assert_array_equal(a, b)
 
+    def test_refine_span_multi_matches_full_scan(self):
+        """Span-chunked multi-video refinement (per-video n_valid freeze,
+        padded tails) == the whole-video lockstep scan, for videos of
+        DIFFERENT lengths (4 and 7 frames, span 3)."""
+        from deflicker_tpu.filter.engine import (refine_sequence,
+                                                 refine_span_multi)
+        from deflicker_tpu.models.refine import transformnet_init
+
+        lvars = transformnet_init(jax.random.key(0))
+        rng = np.random.default_rng(6)
+        Ts, S = [4, 7], 3
+        T_max = max(Ts)
+        # each video idles on its last frame once ended (run_multi's loader)
+        vids = [rng.uniform(0, 1, (T, 32, 32, 3)).astype(np.float32)
+                for T in Ts]
+        preds_v = np.stack([
+            np.concatenate([v, np.repeat(v[-1:], T_max - v.shape[0], 0)])
+            for v in vids])
+
+        p0 = jnp.asarray(preds_v[:, 0])
+        carry = (p0, p0)
+        got = [preds_v[:, :1]]
+        body = preds_v[:, 1:]
+        for s0 in range(0, body.shape[1], S):
+            chunk = body[:, s0:s0 + S]
+            nb = chunk.shape[1]
+            if nb != S:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[:, -1:], S - nb, axis=1)],
+                    axis=1)
+            nv = np.clip(np.asarray(Ts) - (s0 + 1), 0, S).astype(np.int32)
+            carry, out = refine_span_multi(lvars, carry,
+                                           jnp.asarray(chunk),
+                                           jnp.asarray(nv))
+            got.append(np.asarray(out)[:, :nb])
+        got = np.concatenate(got, axis=1)
+        for v, T in enumerate(Ts):
+            want = np.asarray(refine_sequence(lvars, jnp.asarray(vids[v])))
+            np.testing.assert_allclose(got[v, :T], want, atol=1e-5)
+
     def test_run_multi_matches_run(self, tmp_path):
         """FilterEngine.run_multi over 2 videos of different length ==
         engine.run on each, artifacts included."""
@@ -245,10 +285,19 @@ class TestFilterEngine:
 
         engine = load_filter_engine(None, None)
         outs = engine.run_multi(jobs, fps=10)
+        # small span: several reader/compute/writer handoffs, one video
+        # ending exactly at a span boundary (T=3, span 3)
+        streamy = load_filter_engine(None, None)
+        streamy.span = 3
+        jobs_s = [(c, s, tmp_path / "multi_s" / c.name) for c, s, _ in jobs]
+        outs_s = streamy.run_multi(jobs_s, fps=10)
         assert [o.shape[0] for o in outs] == [3, 4]
         for idx, ((cdir, sdir, rdir), T) in enumerate(zip(jobs, (3, 4))):
             single = engine.run(cdir, sdir, tmp_path / "single" / cdir.name,
                                 fps=10)
             np.testing.assert_allclose(outs[idx], single, atol=1e-5)
+            np.testing.assert_allclose(outs_s[idx], single, atol=1e-5)
             assert len(sorted((rdir / "final" / "output").glob("*.png"))) == T
+            assert len(sorted((tmp_path / "multi_s" / cdir.name / "final"
+                               / "output").glob("*.png"))) == T
             assert (rdir / "final" / "output.mp4").exists()
