@@ -667,6 +667,203 @@ def bench_trained_stage2(n_clips=8, T=12, H=128, W=128,
     return out
 
 
+def bench_config2(iters=100001):
+    """BASELINE.json benchmark config 2, run to completion: image-folder
+    input, FULL resolution (down 1), the reference's heavy 100k-iteration
+    schedule (README.md:111), end to end through stage 2 with the shipped
+    weights (VERDICT round-3 missing #2 — only a truncated 12k smoke was
+    ever recorded)."""
+    import tempfile
+
+    from deflicker_tpu.api import Deflickerer
+    from deflicker_tpu.io.media import video_to_frames
+
+    video = "/root/reference/data/test/Winter_Scenes_in_Holland.mp4"
+    with tempfile.TemporaryDirectory() as td:
+        root, rroot = Path(td) / "data", Path(td) / "results"
+        frames = root / "config2_fullres"
+        video_to_frames(video, frames, fps=10)     # image-folder input
+        d = Deflickerer(root=str(root), results_root=str(rroot))
+        t0 = time.perf_counter()
+        m = d.process(frame_folder=str(frames), down=1, iters=iters)
+        wall = time.perf_counter() - t0
+        out = {
+            "metric": "config2_fullres_100k_frames_per_sec",
+            "value": round(m["num_frames"] / wall, 3),
+            "iters": iters, "down": 1, "input": "image folder",
+            "frames": m["num_frames"],
+            "t_total": round(wall, 1),
+            "breakdown": {k: round(m[k], 1) for k in
+                          ("t_flow", "t_pretrain", "t_fit", "t_render",
+                           "t_stage2") if k in m},
+            "fit_iters_per_sec": round(m["iters_per_sec"], 1),
+            "stage1_psnr": round(m["psnr"], 2),
+            "final_psnr": round(m["final_psnr"], 2)
+            if m.get("final_psnr") is not None else None,
+            "input_ewarp_x100": round(m["input_ewarp"] * 100, 3)
+            if m.get("input_ewarp") is not None else None,
+            "final_ewarp_x100": round(m["final_ewarp"] * 100, 3)
+            if m.get("final_ewarp") is not None else None,
+            "stage2_weights": _stage2_weights_kind(d._pipe_cfg()),
+            "device": _device_str(),
+        }
+    print(json.dumps(out, indent=2))
+    _merge({"config2_fullres_100k": out})
+    return out
+
+
+def bench_warm(iters=None, repeats=3, down=4):
+    """Warm-process e2e: N same-shape videos through ONE `api.Deflickerer`
+    (the cli.serve daemon path) — the e2e number that is NOT
+    compile-dominated (VERDICT round-3 weak #2: every fresh process repays
+    the remote TPU compile because axon programs miss the persistent
+    cache; a warm process pays it once).
+
+    Run 1 absorbs every compile; runs 2..N measure the steady warm cost of
+    a NEW video of the same shape (fresh frames, fresh flow, fresh fit —
+    only the XLA executables and network weights are reused).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from deflicker_tpu.api import Deflickerer
+    from deflicker_tpu.io.media import video_to_frames
+
+    video = "/root/reference/data/test/Winter_Scenes_in_Holland.mp4"
+    iters = (int(os.environ.get("BENCH_E2E_ITERS", 10001))
+             if iters is None else iters)
+    with tempfile.TemporaryDirectory() as td:
+        root, rroot = Path(td) / "data", Path(td) / "results"
+        raw = root / "warm_r0"
+        video_to_frames(video, raw, fps=10)
+        for r in range(1, repeats):
+            shutil.copytree(raw, root / f"warm_r{r}")
+        d = Deflickerer(root=str(root), results_root=str(rroot))
+        runs = []
+        for r in range(repeats):
+            t0 = time.perf_counter()
+            m = d.process(frame_folder=str(root / f"warm_r{r}"),
+                          down=down, iters=iters)
+            wall = time.perf_counter() - t0
+            runs.append({
+                "wall_s": round(wall, 1),
+                "frames_per_sec": round(m["num_frames"] / wall, 3),
+                "breakdown": {k: round(m[k], 1) for k in
+                              ("t_flow", "t_pretrain", "t_fit", "t_render",
+                               "t_stage2") if k in m},
+                "fit_iters_per_sec": round(m["iters_per_sec"], 1),
+                "stage1_psnr": round(m["psnr"], 2),
+            })
+            print(json.dumps({f"run_{r}": runs[-1]}), flush=True)
+        warm = runs[1:] or runs
+        out = {
+            "metric": "warm_process_e2e_frames_per_sec",
+            "value": round(float(np.mean([r["frames_per_sec"]
+                                          for r in warm])), 3),
+            "first_run_wall_s": runs[0]["wall_s"],
+            "warm_run_wall_s": [r["wall_s"] for r in warm],
+            "runs": runs,
+            "iters": iters, "down": down,
+            "stage2_weights": _stage2_weights_kind(d._pipe_cfg()),
+            "device": _device_str(),
+            "note": "each repeat is a fresh copy of the same frames: new "
+                    "flow + new fit, reusing only weights and XLA "
+                    "executables (the cli.serve daemon path)",
+        }
+    print(json.dumps(out, indent=2))
+    _merge({"warm": out})
+    return out
+
+
+def bench_cacheprobe():
+    """Bounded investigation of WHY axon (TPU) executables miss the
+    persistent XLA compile cache (VERDICT round-3 weak #2b).
+
+    Three probes, results recorded verbatim:
+      1. cache-dir entry count before/after compiling a fresh trivial
+         program on the TPU backend (with min-compile-time/entry-size
+         floors dropped and cache-miss explanations logged);
+      2. the same on the CPU backend (the control that DOES persist);
+      3. an AOT `jax.experimental.serialize_executable` attempt on the TPU
+         executable — if the PJRT plugin cannot serialize executables, the
+         persistent cache cannot store them, and that is the root cause.
+    """
+    import io
+    import logging
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    out = {"device": _device_str()}
+    cache_dir = os.path.expanduser("~/.cache/deflicker_tpu/xla")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+    jax.config.update("jax_explain_cache_misses", True)
+
+    log_buf = io.StringIO()
+    handler = logging.StreamHandler(log_buf)
+    handler.setLevel(logging.DEBUG)
+    loggers = [logging.getLogger(n) for n in
+               ("jax._src.compilation_cache", "jax._src.compiler")]
+    for lg in loggers:
+        lg.setLevel(logging.DEBUG)
+        lg.addHandler(handler)
+
+    def entries():
+        try:
+            return sum(1 for _ in Path(cache_dir).rglob("*") if _.is_file())
+        except OSError:
+            return -1
+
+    import secrets
+    salt = float(int(secrets.token_hex(3), 16))  # fresh HLO every probe run
+
+    for backend in ("tpu", "cpu"):
+        try:
+            devs = jax.devices(backend)
+        except RuntimeError as e:
+            out[backend] = {"skipped": str(e)[:120]}
+            continue
+        n0 = entries()
+        x = jax.device_put(jnp.ones((256, 256)), devs[0])
+
+        def fn(a):
+            return (a @ a + salt).sum()
+
+        t0 = time.perf_counter()
+        lowered = jax.jit(fn).lower(x)
+        compiled = lowered.compile()
+        float(compiled(x))
+        rec = {"entries_before": n0, "entries_after": entries(),
+               "compile_wall_s": round(time.perf_counter() - t0, 2),
+               "persisted": entries() > n0}
+        try:
+            from jax.experimental import serialize_executable
+
+            blob, *_ = serialize_executable.serialize(compiled)
+            rec["aot_serialize"] = f"ok, {len(blob)} bytes"
+        except Exception as e:
+            rec["aot_serialize"] = f"FAILED: {type(e).__name__}: {str(e)[:200]}"
+        out[backend] = rec
+
+    for lg in loggers:
+        lg.removeHandler(lg.handlers[-1] if lg.handlers else handler)
+    log = log_buf.getvalue()
+    # keep the distinctive lines (miss explanations / not-cacheable notices)
+    keep = [ln for ln in log.splitlines()
+            if any(s in ln.lower() for s in
+                   ("cache", "serializ", "persist", "miss"))][:40]
+    out["cache_log_excerpt"] = keep
+    print(json.dumps(out, indent=2))
+    _merge({"cacheprobe": out})
+    return out
+
+
 def bench_gt_real(iters=None):
     """Ground-truth deflickering quality on REAL texture.
 
@@ -689,6 +886,12 @@ def bench_gt_real(iters=None):
     iid/affine stage-2 weights from the broader-distribution variants:
     the drift/local folds are real-texture footage whose flicker is NOT
     iid-global.
+
+    CAVEAT (recorded in the output as clean_is_in_model_family): the clean
+    reference is itself a stage-1 atlas render, i.e. a video inside the
+    atlas model's representable family, so the absolute fold PSNRs are
+    upward-biased — quote them only as RELATIVE comparisons between
+    stage-2 weight sets, never as real-footage reconstruction quality.
     """
     import os
     import tempfile
@@ -700,8 +903,8 @@ def bench_gt_real(iters=None):
                                         video_to_frames, write_image)
 
     video = "/root/reference/data/test/Winter_Scenes_in_Holland.mp4"
-    iters = iters or int(os.environ.get("BENCH_E2E_ITERS", 10001))
-    rng = np.random.default_rng(0)
+    iters = (int(os.environ.get("BENCH_E2E_ITERS", 10001))
+             if iters is None else iters)
 
     def load_dir(d):
         return np.stack([read_image(p) for p in list_frames(d)])
@@ -710,26 +913,65 @@ def bench_gt_real(iters=None):
         mse = float(np.mean((a.astype(np.float64) - b) ** 2))
         return 10.0 * np.log10(1.0 / max(mse, 1e-12))
 
-    def make_flicker(clean, kind):
+    # one fixed seed PER FOLD: fold realizations are independent of fold
+    # ordering, so recorded numbers stay comparable across revisions even
+    # if folds are added/reordered (advisor finding, round 3)
+    FOLD_SEEDS = {"iid": 101, "drift": 202, "local": 303, "occlude": 404}
+
+    def drift_gain(rng, T):
+        rho, std = 0.95, 0.15
+        a = np.zeros(T)
+        eps = rng.normal(0.0, std * np.sqrt(1 - rho**2), size=T)
+        for t in range(1, T):
+            a[t] = rho * a[t - 1] + eps[t]
+        return np.clip(1.0 + a, 0.6, 1.4).reshape(T, 1, 1, 1)
+
+    def composite_occluder(clean, rng):
+        """Moving real-texture occluder: a crop of the clean video pasted
+        back on its own smooth trajectory with a soft-ellipse matte — the
+        result has layered/non-affine flow with REAL occlusion regions
+        (the structure Winter Scenes' global pan lacks; exactly the case
+        BASELINE.md's distribution study said would discriminate weights)."""
         T, H, W = clean.shape[:3]
+        ph, pw = H // 3, W // 3
+        patch = clean[0, H // 4:H // 4 + ph, W // 4:W // 4 + pw].copy()
+        yy, xx = np.mgrid[0:ph, 0:pw]
+        e = (((yy - ph / 2) / (ph / 2)) ** 2
+             + ((xx - pw / 2) / (pw / 2)) ** 2)
+        matte = np.clip((1.0 - e) * 3.0, 0.0, 1.0)[..., None]
+        # smooth Lissajous-ish trajectory inside the frame
+        phase = rng.uniform(0, 2 * np.pi, 2)
+        out = clean.copy()
+        for t in range(T):
+            cy = int((H - ph) * (0.5 + 0.35 * np.sin(
+                2 * np.pi * t / T + phase[0])))
+            cx = int((W - pw) * (0.5 + 0.35 * np.sin(
+                4 * np.pi * t / T + phase[1])))
+            roi = out[t, cy:cy + ph, cx:cx + pw]
+            roi[:] = matte * patch + (1 - matte) * roi
+        return out
+
+    def make_fold(clean, kind):
+        """Returns (flickered_input, clean_reference) for one fold —
+        the clean reference differs for 'occlude' (it contains the
+        occluder, so PSNR-to-clean measures deflickering only)."""
+        T, H, W = clean.shape[:3]
+        rng = np.random.default_rng(FOLD_SEEDS[kind])
+        ref = clean
         if kind == "iid":
             g = rng.uniform(0.7, 1.3, size=(T, 1, 1, 1))
         elif kind == "drift":                  # AR(1) exposure drift
-            rho, std = 0.95, 0.15
-            a = np.zeros(T)
-            eps = rng.normal(0.0, std * np.sqrt(1 - rho**2), size=T)
-            for t in range(1, T):
-                a[t] = rho * a[t - 1] + eps[t]
-            g = np.clip(1.0 + a, 0.6, 1.4).reshape(T, 1, 1, 1)
+            g = drift_gain(rng, T)
         elif kind == "local":                  # smooth spatial gain field
-            import cv2
-
             low = rng.uniform(0.75, 1.25, size=(T, 6, 8)).astype(np.float32)
             g = np.stack([cv2.resize(f, (W, H), interpolation=cv2.INTER_CUBIC)
                           for f in low])[..., None]
+        elif kind == "occlude":                # moving occluder + AR(1)
+            ref = composite_occluder(clean, rng)
+            g = drift_gain(rng, T)
         else:
             raise ValueError(kind)
-        return np.clip(clean * g, 0.0, 1.0).astype(np.float32)
+        return np.clip(ref * g, 0.0, 1.0).astype(np.float32), ref
 
     with tempfile.TemporaryDirectory() as td:
         root, rroot = Path(td) / "data", Path(td) / "results"
@@ -754,28 +996,74 @@ def bench_gt_real(iters=None):
                "shape": "x".join(str(s) for s in clean.shape[1:3]),
                "clean_source": "stage-1 atlas render of the real video "
                                "(temporally consistent by construction)",
+               # the clean video is INSIDE the atlas model's representable
+               # family, so psnr_stage1/psnr_final are upward-biased
+               # (stage 1 can near-perfectly re-fit its own render): treat
+               # fold PSNRs as RELATIVE comparisons between weight sets,
+               # not absolute real-footage reconstruction quality
+               "clean_is_in_model_family": True,
                "stage2_weights": _stage2_weights_kind(d._pipe_cfg()),
                "cleangen_t_total": round(m0["t_total"], 1),
                "device": _device_str(), "folds": {}}
-        for kind in ("iid", "drift", "local"):
+        # additional stage-2 weight sets (dirs holding neural_filter.ckpt +
+        # local_refinement_net.ckpt), e.g. the breadth-trained variants:
+        #   BENCH_GT_WEIGHTS="breadth=/path/to/dir,other=/path2"
+        # Stage 1 runs ONCE per fold; each extra set re-runs only stage 2
+        # on the same stage-1 output (same shapes -> zero extra compiles).
+        weight_sets = {}
+        for spec_str in filter(None, os.environ.get(
+                "BENCH_GT_WEIGHTS", "").split(",")):
+            name, _, wdir = spec_str.partition("=")
+            weight_sets[name.strip()] = Path(wdir.strip())
+        out["weight_sets"] = {"shipped": _stage2_weights_kind(d._pipe_cfg()),
+                              **{k: str(v) for k, v in weight_sets.items()}}
+
+        import jax.numpy as jnp
+
+        from deflicker_tpu.cli.evaluate import compute_video_metrics
+        from deflicker_tpu.cli.pipeline import run_stage2
+        from deflicker_tpu.filter import load_filter_engine
+
+        engines = {
+            name: load_filter_engine(wdir / "neural_filter.pth",
+                                     wdir / "local_refinement_net.pth",
+                                     dtype=jnp.bfloat16)
+            for name, wdir in weight_sets.items()}
+
+        for kind in ("iid", "drift", "local", "occlude"):
             fd = root / f"gt_{kind}"
-            for t, frame in enumerate(make_flicker(clean, kind)):
+            flickered, clean_ref = make_fold(clean, kind)
+            for t, frame in enumerate(flickered):
                 write_image(frame, fd / f"{t:05d}.png")
             m = d.process(frame_folder=str(fd), down=1, iters=iters)
             final = load_dir(m["final_dir"])
             s1 = load_dir(rroot / fd.name / "stage_1" / "output")
-            flickered = load_dir(fd)
-            out["folds"][kind] = {
-                "psnr_input": round(psnr_to(flickered, clean), 2),
-                "psnr_stage1": round(psnr_to(s1, clean), 2),
-                "psnr_final": round(psnr_to(final, clean), 2),
+            flickered = load_dir(fd)           # as quantized on disk
+            rec = {
+                "psnr_input": round(psnr_to(flickered, clean_ref), 2),
+                "psnr_stage1": round(psnr_to(s1, clean_ref), 2),
+                "psnr_final": round(psnr_to(final, clean_ref), 2),
                 "input_ewarp_x100": round(m["input_ewarp"] * 100, 3)
                 if m.get("input_ewarp") is not None else None,
                 "final_ewarp_x100": round(m["final_ewarp"] * 100, 3)
                 if m.get("final_ewarp") is not None else None,
                 "t_total": round(m["t_total"], 1),
             }
-            print(json.dumps({kind: out["folds"][kind]}))
+            for name, engine in engines.items():
+                alt_root = rroot / f"ws_{name}"
+                cfg2 = d._pipe_cfg(video_frame_folder=str(fd))
+                run_stage2(fd, cfg2, results_root=alt_root,
+                           style_dir=rroot / fd.name / "stage_1" / "output",
+                           engine=engine)
+                alt_final_dir = alt_root / fd.name / "final" / "output"
+                mm = compute_video_metrics(fd, alt_final_dir)
+                rec[f"psnr_final_{name}"] = round(
+                    psnr_to(load_dir(alt_final_dir), clean_ref), 2)
+                if mm.get("ewarp_mean") is not None:
+                    rec[f"final_ewarp_x100_{name}"] = round(
+                        mm["ewarp_mean"] * 100, 3)
+            out["folds"][kind] = rec
+            print(json.dumps({kind: rec}), flush=True)
     _merge({"gt_real": out})
     return out
 
@@ -786,7 +1074,10 @@ BENCHES = {"raft": bench_raft, "stage2": bench_stage2, "e2e": bench_e2e,
            "batch": bench_batch,
            "batch_parallel": lambda: bench_batch(parallel=True),
            "trained_stage2": bench_trained_stage2,
-           "gt_real": bench_gt_real}
+           "gt_real": bench_gt_real,
+           "warm": bench_warm,
+           "cacheprobe": bench_cacheprobe,
+           "config2": bench_config2}
 
 
 if __name__ == "__main__":
