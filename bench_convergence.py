@@ -385,6 +385,135 @@ def compare(tres, jres, iters):
     return stats
 
 
+def control(args):
+    """Torch-vs-torch null-band control (VERDICT round-3 item 1).
+
+    The round-3 run recorded jax/torch windowed loss ratios 1.01 / 1.16 /
+    1.33 (first/mid/final) over 3000 iterations with the gap growing — but
+    no control established whether 1.33x is inside the fp32-chaos /
+    run-to-run band of the reference ITSELF (its stage 1 is unseeded,
+    SURVEY §4: nondeterministic run to run).  This mode runs the
+    reference's own torch fit for several seeds (seed changes init AND the
+    sample stream — exactly what an unseeded reference run redraws) and
+    measures the pairwise windowed-loss ratios and PSNR spread between
+    equally-legitimate torch runs.  If the recorded jax/torch ratio sits
+    inside the torch/torch band, the divergence is noise, not systematic.
+
+    Writes BENCH_CONVERGENCE_CONTROL.json and appends the band to
+    CONVERGENCE.md.
+    """
+    import itertools
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from deflicker_tpu.atlas.engine import build_specs, init_models
+    from deflicker_tpu.config import AtlasConfig
+
+    cfg = AtlasConfig(fit_precision="highest", use_pallas_imlp=False,
+                      samples_batch=args.batch,
+                      iters_num=args.iters,
+                      stop_global_rigidity=args.stop_global_rigidity,
+                      global_rigidity_derivative_amount_fg=args.global_derivative_amount,
+                      global_rigidity_derivative_amount_bg=args.global_derivative_amount,
+                      pretrain_iter_number=args.pretrain_iters)
+    specs = build_specs(cfg, dual=False)
+    print(f"building data: {args.frames}x{args.height}x{args.width}")
+    data = build_data(args.video, args.frames, args.height, args.width)
+
+    runs = {}
+    for seed in range(args.control):
+        init_params = jax.tree_util.tree_map(
+            np.asarray, init_models(jax.random.key(seed), specs))
+        rng = np.random.default_rng(seed)
+        fit_idx, pre_idx = draw_indices(
+            rng, args.iters, args.batch, args.pretrain_iters,
+            args.pretrain_batch, args.frames, args.height, args.width)
+        print(f"torch fit, seed {seed}...", flush=True)
+        runs[seed] = run_torch(init_params, data, fit_idx, pre_idx, cfg,
+                               specs, args.psnr_every)
+        print(f"  done in {runs[seed]['wall_s']:.0f}s, "
+              f"final loss {runs[seed]['loss'][-1]:.3f}, "
+              f"final psnr {runs[seed]['psnr'][args.iters]:.2f}", flush=True)
+
+    win = max(10, args.iters // 10)
+    sl = {"first": slice(0, win),
+          "mid": slice(args.iters // 2 - win // 2, args.iters // 2 + win // 2),
+          "final": slice(args.iters - win, args.iters)}
+    bands = {}
+    for name, key in (("total", "loss"), ("rgb", "rgb")):
+        bands[name] = {}
+        for label, s in sl.items():
+            means = {sd: float(np.mean(r[key][s])) for sd, r in runs.items()}
+            ratios = [max(a, b) / min(a, b) for a, b in
+                      itertools.combinations(means.values(), 2)]
+            bands[name][label] = {
+                "window_means": means,
+                "pairwise_ratio_max": max(ratios),
+                "pairwise_ratio_min": min(ratios),
+            }
+    psnr_final = {sd: r["psnr"][args.iters] for sd, r in runs.items()}
+    payload = {
+        "config": {k: getattr(args, k) for k in
+                   ("frames", "height", "width", "batch", "iters",
+                    "pretrain_iters", "pretrain_batch",
+                    "stop_global_rigidity")},
+        "seeds": list(runs),
+        "bands": bands,
+        "final_psnr_per_seed": psnr_final,
+        "final_psnr_spread_db": max(psnr_final.values())
+        - min(psnr_final.values()),
+        "wall_s_per_seed": {sd: r["wall_s"] for sd, r in runs.items()},
+    }
+    # compare against the recorded jax/torch run, if present
+    rec = REPO / "BENCH_CONVERGENCE.json"
+    verdicts = {}
+    if rec.exists():
+        recorded = json.loads(rec.read_text())
+        for name in ("total", "rgb"):
+            for label in ("first", "mid", "final"):
+                jt = recorded["stats"][name][label]["ratio"]
+                band = bands[name][label]["pairwise_ratio_max"]
+                verdicts[f"{name}_{label}"] = {
+                    "jax_over_torch": round(jt, 4),
+                    "torch_torch_band_max": round(band, 4),
+                    "within_band": max(jt, 1.0 / jt) <= band,
+                }
+        payload["vs_recorded_jax_run"] = verdicts
+    (REPO / "BENCH_CONVERGENCE_CONTROL.json").write_text(
+        json.dumps(payload, indent=1))
+
+    lines = [
+        "", "## Null-band control: torch-vs-torch across seeds (round 4)", "",
+        f"The reference's stage 1 is unseeded; {args.control} torch runs of "
+        "its own fit (different init + sample stream per seed, same data/"
+        "schedule) measure how far two equally-legitimate reference runs "
+        "drift — the band any jax/torch comparison must be read against.", "",
+        "| window | torch/torch max pairwise ratio (total) | (rgb) | "
+        "recorded jax/torch (total) | (rgb) | within band |", "|---|---|---|---|---|---|",
+    ]
+    for label in ("first", "mid", "final"):
+        jt_t = verdicts.get(f"total_{label}", {})
+        jt_r = verdicts.get(f"rgb_{label}", {})
+        lines.append(
+            f"| {label} | {bands['total'][label]['pairwise_ratio_max']:.3f} "
+            f"| {bands['rgb'][label]['pairwise_ratio_max']:.3f} "
+            f"| {jt_t.get('jax_over_torch', float('nan')):.3f} "
+            f"| {jt_r.get('jax_over_torch', float('nan')):.3f} "
+            f"| {jt_t.get('within_band')} / {jt_r.get('within_band')} |")
+    lines += ["", f"Final-PSNR spread across torch seeds: "
+              f"{payload['final_psnr_spread_db']:.2f} dB "
+              f"({', '.join(f'seed {s}: {p:.2f}' for s, p in psnr_final.items())}).",
+              "", "Details: BENCH_CONVERGENCE_CONTROL.json."]
+    with open(args.out, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"metric": "convergence_control_band",
+                      "final_total_band_max":
+                      bands["total"]["final"]["pairwise_ratio_max"],
+                      "verdicts": verdicts}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--video", default="/root/reference/data/test/"
@@ -402,8 +531,16 @@ def main():
     ap.add_argument("--global_derivative_amount", type=int, default=16)
     ap.add_argument("--psnr_every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--control", type=int, default=0,
+                    help="instead of torch-vs-jax, run the torch fit this "
+                    "many times (seeds 0..N-1) and record the torch-vs-"
+                    "torch null band")
     ap.add_argument("--out", default=str(REPO / "CONVERGENCE.md"))
     args = ap.parse_args()
+
+    if args.control:
+        control(args)
+        return
 
     import jax
 
