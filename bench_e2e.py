@@ -793,6 +793,7 @@ def bench_cacheprobe():
     import logging
     import os
 
+    import deflicker_tpu  # noqa: F401  (points jax at the persistent cache)
     import jax
     import jax.numpy as jnp
 
@@ -861,6 +862,71 @@ def bench_cacheprobe():
     out["cache_log_excerpt"] = keep
     print(json.dumps(out, indent=2))
     _merge({"cacheprobe": out})
+    return out
+
+
+_CACHEPROBE_CHILD = r'''
+import io, json, logging, sys, time
+import deflicker_tpu                    # points jax at the persistent cache
+import jax, jax.numpy as jnp
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+buf = io.StringIO(); h = logging.StreamHandler(buf); h.setLevel(logging.DEBUG)
+for n in ("jax._src.compilation_cache", "jax._src.compiler"):
+    lg = logging.getLogger(n); lg.setLevel(logging.DEBUG); lg.addHandler(h)
+
+x = jax.device_put(jnp.ones((512, 512), jnp.bfloat16), jax.devices("tpu")[0])
+
+def fn(a):                               # FIXED program: identical HLO per run
+    def body(c, _):
+        return jnp.tanh(c @ c), None
+    c, _ = jax.lax.scan(body, a, None, length=8)
+    return c.astype(jnp.float32).sum()
+
+t0 = time.perf_counter()
+v = float(jax.jit(fn)(x))
+wall = time.perf_counter() - t0
+log = buf.getvalue()
+keys = [ln.split("key '")[1].rstrip("'")
+        for ln in log.splitlines() if "key 'jit_fn-" in ln]
+print(json.dumps({
+    "wall_s": round(wall, 2),
+    "hit": "cache hit for 'jit_fn'" in log.lower()
+           or ("jit_fn" in log and "MISS for 'jit_fn'" not in log),
+    "miss": "MISS for 'jit_fn'" in log,
+    "wrote": "Writing jit_fn" in log,
+    "key": keys[0] if keys else None}))
+'''
+
+
+def bench_cacheprobe2():
+    """Phase 2 of the cache investigation: a FIXED program compiled by two
+    fresh subprocesses on the TPU backend.  If the second process hits the
+    persistent cache (same key, no MISS, fast), cross-process caching of
+    axon executables WORKS and round 3's 'axon never persists' note was an
+    artifact of the probe (e.g. the 1.0 s min-compile-time floor, or a
+    cache left uninitialized); if the keys differ between the two runs,
+    the axon backend salts the cache key per process and THAT is the root
+    cause of the compile-dominated e2e walls."""
+    import subprocess
+    import sys
+
+    runs = []
+    for i in range(2):
+        p = subprocess.run([sys.executable, "-c", _CACHEPROBE_CHILD],
+                           capture_output=True, text=True, timeout=1800,
+                           cwd=str(Path(__file__).parent))
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        runs.append(json.loads(line[-1]) if line else
+                    {"error": (p.stdout + p.stderr)[-500:]})
+        print(json.dumps({f"proc_{i}": runs[-1]}), flush=True)
+    out = {"runs": runs, "device": _device_str()}
+    if all("key" in r for r in runs):
+        out["same_key"] = runs[0]["key"] == runs[1]["key"]
+        out["second_process_hit"] = bool(runs[1].get("hit")
+                                         and not runs[1].get("miss"))
+    print(json.dumps(out, indent=2))
+    _merge({"cacheprobe2": out})
     return out
 
 
@@ -1077,6 +1143,7 @@ BENCHES = {"raft": bench_raft, "stage2": bench_stage2, "e2e": bench_e2e,
            "gt_real": bench_gt_real,
            "warm": bench_warm,
            "cacheprobe": bench_cacheprobe,
+           "cacheprobe2": bench_cacheprobe2,
            "config2": bench_config2}
 
 
