@@ -930,6 +930,130 @@ def bench_cacheprobe2():
     return out
 
 
+_CACHEPROBE3_CHILD = r'''
+import hashlib, io, json, logging, os, time
+import deflicker_tpu                    # points jax at the persistent cache
+import jax, optax
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_explain_cache_misses", True)
+buf = io.StringIO(); h = logging.StreamHandler(buf); h.setLevel(logging.DEBUG)
+for n in ("jax._src.compilation_cache", "jax._src.compiler"):
+    lg = logging.getLogger(n); lg.setLevel(logging.DEBUG); lg.addHandler(h)
+
+from bench import T, H, W, synthetic_video_data
+from deflicker_tpu.atlas.engine import (_run_chunk, build_specs, init_models,
+                                        make_loss_fn, make_scan_step)
+from deflicker_tpu.config import AtlasConfig
+
+cfg = AtlasConfig()
+specs = build_specs(cfg, dual=False)
+data = synthetic_video_data(T, H, W).with_packed()
+params = init_models(jax.random.key(0), specs)
+optimizer = optax.adam(cfg.learning_rate)
+loss_fn = make_loss_fn(specs, cfg, data, True, False)
+step = make_scan_step(loss_fn, optimizer, cfg.samples_batch, H, W, T)
+carry = (params, optimizer.init(params), jax.random.key(1))
+lowered = _run_chunk.lower(carry, data.fit_view(), step_fn=step, n_steps=250)
+txt = lowered.as_text()
+rec = {"hlo_sha": hashlib.sha256(txt.encode()).hexdigest(),
+       "hlo_bytes": len(txt),
+       "hashseed": os.environ.get("PYTHONHASHSEED", "unset")}
+if os.environ.get("CP3_DUMP"):
+    open(os.environ["CP3_DUMP"], "w").write(txt)
+if os.environ.get("CP3_COMPILE") == "1":
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    rec["compile_wall_s"] = round(time.perf_counter() - t0, 2)
+    log = buf.getvalue()
+    name = "jit__run_chunk"
+    keys = [ln.split("key '")[1].rstrip("'") for ln in log.splitlines()
+            if f"key '{name}-" in ln]
+    low = log.lower()
+    rec["miss"] = f"MISS for '{name}'" in log
+    rec["wrote"] = f"Writing {name}" in log
+    rec["hit"] = (f"cache hit for '{name}'" in low
+                  or (keys and not rec["miss"]))
+    rec["key"] = keys[0] if keys else None
+    rec["log_chunk_lines"] = [ln for ln in log.splitlines()
+                              if name in ln][:12]
+print("CP3" + json.dumps(rec))
+'''
+
+
+def bench_cacheprobe3():
+    """Phase 3 of the cache investigation: the PRODUCTION fit program.
+
+    cacheprobe2 proved a fixed trivial scan persists cross-process on the
+    axon backend, yet the e2e fit chunk (`_run_chunk` over `make_scan_step`)
+    still repays its ~300-450 s remote compile in every fresh process
+    (BENCH_E2E cacheprobe commit notes).  Two sub-probes isolate where the
+    fit program diverges:
+
+      A (cheap, no compile): two fresh subprocesses with DIFFERENT
+        PYTHONHASHSEED values lower the bench-config fit chunk and hash the
+        StableHLO text.  Differing hashes = the program itself is
+        process-dependent (hash-ordering leaking into tracing) — the diff
+        names the culprit; equal hashes = HLO is stable, move to B.
+      B (CP3_PHASE_B=1, two remote compiles ~5-10 min each): the same
+        child with CP3_COMPILE=1 on the real TPU backend, cache-miss
+        logging on — records per-process cache key, hit/miss/write flags
+        and the write log lines (a failed write of a large serialized
+        executable would show here).
+    """
+    import os
+    import subprocess
+    import sys
+
+    out = {"device": _device_str()}
+
+    runs_a = []
+    for i, seed in enumerate(("0", "1234567")):
+        env = dict(os.environ, PYTHONHASHSEED=seed,
+                   CP3_DUMP=f"/tmp/cp3_hlo_{i}.txt")
+        p = subprocess.run([sys.executable, "-c", _CACHEPROBE3_CHILD],
+                           capture_output=True, text=True, timeout=3600,
+                           cwd=str(Path(__file__).parent), env=env)
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("CP3")]
+        runs_a.append(json.loads(line[-1][3:]) if line else
+                      {"error": (p.stdout + p.stderr)[-500:]})
+        print(json.dumps({f"lower_{i}": runs_a[-1]}), flush=True)
+    out["lowering"] = runs_a
+    if all("hlo_sha" in r for r in runs_a):
+        out["hlo_stable_across_processes"] = (
+            runs_a[0]["hlo_sha"] == runs_a[1]["hlo_sha"])
+        if not out["hlo_stable_across_processes"]:
+            # name the first diverging line so the culprit is recorded
+            a = open("/tmp/cp3_hlo_0.txt").read().splitlines()
+            b = open("/tmp/cp3_hlo_1.txt").read().splitlines()
+            for j, (x, y) in enumerate(zip(a, b)):
+                if x != y:
+                    out["first_diff"] = {"line": j, "a": x[:200], "b": y[:200]}
+                    break
+
+    if os.environ.get("CP3_PHASE_B") == "1":
+        runs_b = []
+        for i in range(2):
+            env = dict(os.environ, CP3_COMPILE="1")
+            env.pop("CP3_DUMP", None)
+            p = subprocess.run([sys.executable, "-c", _CACHEPROBE3_CHILD],
+                               capture_output=True, text=True, timeout=3600,
+                               cwd=str(Path(__file__).parent), env=env)
+            line = [ln for ln in p.stdout.splitlines()
+                    if ln.startswith("CP3")]
+            runs_b.append(json.loads(line[-1][3:]) if line else
+                          {"error": (p.stdout + p.stderr)[-500:]})
+            print(json.dumps({f"compile_{i}": runs_b[-1]}), flush=True)
+        out["compiles"] = runs_b
+        if all("key" in r for r in runs_b):
+            out["same_key"] = runs_b[0]["key"] == runs_b[1]["key"]
+            out["second_process_hit"] = bool(runs_b[1].get("hit")
+                                             and not runs_b[1].get("miss"))
+    print(json.dumps(out, indent=2))
+    _merge({"cacheprobe3": out})
+    return out
+
+
 def bench_gt_real(iters=None):
     """Ground-truth deflickering quality on REAL texture.
 
@@ -1144,6 +1268,7 @@ BENCHES = {"raft": bench_raft, "stage2": bench_stage2, "e2e": bench_e2e,
            "warm": bench_warm,
            "cacheprobe": bench_cacheprobe,
            "cacheprobe2": bench_cacheprobe2,
+           "cacheprobe3": bench_cacheprobe3,
            "config2": bench_config2}
 
 
