@@ -69,12 +69,27 @@ def test_loss_trajectories_track(tiny_setup):
     np.testing.assert_allclose(jres["loss"][0], tres["loss"][0], rtol=1e-4)
     # the windowed TOTAL loss at this tiny scale is reduction-order
     # sensitive (changing only XLA's host-device-count flag moves it ~20%),
-    # so the tail comparison is deliberately loose — the tight trajectory
-    # study is bench_convergence.py / CONVERGENCE.md at realistic scale
+    # and the reference ITSELF drifts run to run: the realistic-scale
+    # null-band control measured torch-vs-torch final-window ratios up to
+    # 1.60x (bench_convergence.py --control 3,
+    # BENCH_CONVERGENCE_CONTROL.json).  Hold jax to the IN-SITU band: a
+    # second torch fit with a different seed (what an unseeded reference
+    # rerun redraws) gives the torch-vs-torch ratio at THIS scale; jax
+    # must sit within max(that, the measured 1.60 control) plus headroom.
     win = ITERS // 5
     t_final = float(np.mean(tres["loss"][-win:]))
     j_final = float(np.mean(jres["loss"][-win:]))
-    assert 0.5 < j_final / t_final < 2.0, (t_final, j_final)
+    params_b = jax.tree_util.tree_map(
+        np.asarray, init_models(jax.random.key(1), specs))
+    fit_b, pre_b = bc.draw_indices(np.random.default_rng(2), ITERS, 256, 10,
+                                   256, T, H, W)
+    tres_b = bc.run_torch(params_b, data, fit_b, pre_b, cfg, specs,
+                          psnr_every=ITERS)
+    tb_final = float(np.mean(tres_b["loss"][-win:]))
+    tt_ratio = max(t_final, tb_final) / min(t_final, tb_final)
+    band = max(tt_ratio, 1.60) * 1.25
+    ratio = max(j_final, t_final) / min(j_final, t_final)
+    assert ratio < band, (t_final, tb_final, j_final, tt_ratio)
     # both fits must actually be converging
     assert t_final < 0.5 * float(np.mean(tres["loss"][:win]))
     assert j_final < 0.5 * float(np.mean(jres["loss"][:win]))
