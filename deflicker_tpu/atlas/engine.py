@@ -80,9 +80,13 @@ def select_imlp_apply(use_pallas: bool = False, precision: str = "highest",
         # instead of rematerializing the forward (bit-identical grads;
         # compute-vs-bandwidth experiment, bench_fitstep.py)
         stash = os.environ.get("DEFLICKER_IMLP_STASH") == "1"
-        # DEFLICKER_IMLP_V2=0 reverts to the round-3 kernel bodies
-        # (explicit transposes + skip concats) — A/B via bench_fitstep.py
-        v2 = os.environ.get("DEFLICKER_IMLP_V2", "0") == "1"
+        # v2 kernel bodies (native-contraction backward, split-skip
+        # matmuls) are the round-4 DEFAULT: they tie v1 on speed at every
+        # verified tile (single 1792: 319.6 both; dual 1536: 143.5 vs
+        # 143.6 it/s) but need ~0.8 MB less scoped VMEM in the vmapped
+        # dual backward, lifting that cap 1024 -> 1280 (atlas/multifit.py).
+        # DEFLICKER_IMLP_V2=0 reverts to the round-3 bodies.
+        v2 = os.environ.get("DEFLICKER_IMLP_V2", "1") == "1"
         return partial(imlp_apply_fused, tile=tile,
                        compute_dtype=jnp.bfloat16, stash_bwd=stash, v2=v2)
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"

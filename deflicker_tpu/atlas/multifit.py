@@ -152,12 +152,16 @@ def fit_atlas_multi(params_v: Params, specs: AtlasSpecs, data_v: VideoData,
     V = data_v.video.shape[0]
     T, H, W = data_v.video.shape[1:4]
     # the vmapped Pallas backward carries a bit more VMEM than the plain
-    # one.  Hardware-verified caps for the round-3 kernel (bench_multifit.py,
-    # v5e): single-atlas vmapped fits tile 1536 (338.1 vs 329.6 aggregate
-    # video-it/s at 1024, +2.6%); the vmapped DUAL backward still overflows
-    # the 16 MB scoped VMEM budget at 1536 (17.98 MB — the alpha-MLP bwd is
-    # binding) so it caps at 1024.
-    cap = 1024 if specs.dual else 1536
+    # one.  Hardware-verified caps (bench_multifit.py, v5e): single-atlas
+    # vmapped fits tile 1536 (338.1 vs 329.6 aggregate video-it/s at 1024,
+    # +2.6%).  The vmapped DUAL backward overflows the 16 MB scoped VMEM
+    # budget at 1536 with either kernel body (v1 17.98 MB, v2 17.20 MB —
+    # the alpha-MLP bwd is binding); the round-4 v2 default fits tile 1280
+    # (151.1 vs 149.9 aggregate video-it/s at 1024, +0.8%), while the v1
+    # fallback (DEFLICKER_IMLP_V2=0) stays capped at 1024.
+    import os
+    v2 = os.environ.get("DEFLICKER_IMLP_V2", "1") == "1"
+    cap = (1280 if v2 else 1024) if specs.dual else 1536
     cfg = dataclasses.replace(
         cfg, pallas_tile=min(cfg.pallas_tile or cap, cap))
     if mesh is not None and (mesh.size <= 1 or V % mesh.size != 0):
