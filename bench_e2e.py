@@ -1258,6 +1258,116 @@ def bench_gt_real(iters=None):
     return out
 
 
+def bench_gt_diag(iters=None):
+    """Attribute the stage-2 fidelity ceiling seen in gt_real.
+
+    gt_real found final PSNR-to-clean pinned at ~18.6-19.0 dB for EVERY
+    fold x EVERY stage-2 weight set while the folds' stage-1 renders sit
+    at 23.7-32.0 dB — a weight-independent cap.  This diagnostic re-runs
+    ONE fold (iid, same seed) keeping all intermediate outputs, and
+    splits the loss three ways:
+
+      per-stage:  PSNR(stage1), PSNR(filtered), PSNR(final) vs clean —
+                  does the UNet filter or the ConvLSTM refiner lose it?
+      per-frame:  PSNR(final)[t] — a decay with t means the recurrence
+                  drifts past its clip_len=6 training horizon.
+      tone-split: PSNR after per-frame scalar gain+bias correction —
+                  if corrected >> raw, the cap is a global tone/exposure
+                  shift (the filter re-exposing toward its training
+                  statistics), not lost texture detail.
+
+    Results land in BENCH_E2E.json gt_diag; outputs persist under
+    BENCH_DIAG_DIR (default /tmp/gtdiag) for visual inspection.
+    """
+    import os
+    import shutil
+
+    import cv2
+
+    from deflicker_tpu.api import Deflickerer
+    from deflicker_tpu.io.media import (list_frames, read_image,
+                                        video_to_frames, write_image)
+
+    video = "/root/reference/data/test/Winter_Scenes_in_Holland.mp4"
+    iters = (int(os.environ.get("BENCH_E2E_ITERS", 10001))
+             if iters is None else iters)
+    base = Path(os.environ.get("BENCH_DIAG_DIR", "/tmp/gtdiag"))
+    if base.exists():
+        shutil.rmtree(base)
+    root, rroot = base / "data", base / "results"
+
+    def load_dir(d):
+        return np.stack([read_image(p) for p in list_frames(d)])
+
+    def psnr(a, b):
+        mse = float(np.mean((a.astype(np.float64) - b) ** 2))
+        return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+    def per_frame_psnr(a, b):
+        return [round(psnr(x, y), 2) for x, y in zip(a, b)]
+
+    def tone_corrected(a, b):
+        """Per-frame scalar gain+bias least-squares fit of a onto b."""
+        out = np.empty_like(a, dtype=np.float64)
+        for t in range(a.shape[0]):
+            x = a[t].astype(np.float64).ravel()
+            y = b[t].astype(np.float64).ravel()
+            vx = x.var()
+            g = ((x * y).mean() - x.mean() * y.mean()) / max(vx, 1e-12)
+            out[t] = np.clip(g * a[t] + (y.mean() - g * x.mean()), 0, 1)
+        return out
+
+    # 1. clean = stage-1 render of the real video (as in gt_real)
+    raw = base / "raw"
+    video_to_frames(video, raw, fps=10)
+    src = root / "gt_clean_src"
+    for p in list_frames(raw):
+        f = read_image(p)
+        h, w = f.shape[0] // 4, f.shape[1] // 4
+        write_image(cv2.resize(f, (w, h), interpolation=cv2.INTER_AREA),
+                    src / p.name)
+    d = Deflickerer(root=str(root), results_root=str(rroot))
+    d.process(frame_folder=str(src), down=1, iters=iters)
+    clean = load_dir(rroot / src.name / "stage_1" / "output")
+
+    # 2. the iid fold, same seed as gt_real
+    rng = np.random.default_rng(101)
+    T = clean.shape[0]
+    g = rng.uniform(0.7, 1.3, size=(T, 1, 1, 1))
+    fd = root / "gt_iid"
+    for t, frame in enumerate(np.clip(clean * g, 0, 1).astype(np.float32)):
+        write_image(frame, fd / f"{t:05d}.png")
+    m = d.process(frame_folder=str(fd), down=1, iters=iters)
+
+    s1 = load_dir(rroot / fd.name / "stage_1" / "output")
+    filt = load_dir(rroot / fd.name / "neural_filter" / "output")
+    final = load_dir(m["final_dir"])
+
+    pf_final = per_frame_psnr(final, clean)
+    out = {
+        "fold": "iid", "iters": iters, "frames": int(T),
+        "psnr_stage1": round(psnr(s1, clean), 2),
+        "psnr_filtered": round(psnr(filt, clean), 2),
+        "psnr_final": round(psnr(final, clean), 2),
+        "psnr_filtered_vs_stage1": round(psnr(filt, s1), 2),
+        "psnr_final_vs_filtered": round(psnr(final, filt), 2),
+        "tonecorr_psnr_filtered": round(psnr(tone_corrected(filt, clean),
+                                             clean), 2),
+        "tonecorr_psnr_final": round(psnr(tone_corrected(final, clean),
+                                          clean), 2),
+        "per_frame_final_first10_mean": round(float(
+            np.mean(pf_final[:10])), 2),
+        "per_frame_final_last10_mean": round(float(
+            np.mean(pf_final[-10:])), 2),
+        "per_frame_final": pf_final,
+        "per_frame_filtered": per_frame_psnr(filt, clean),
+        "out_dir": str(base),
+        "device": _device_str(),
+    }
+    _merge({"gt_diag": out})
+    return out
+
+
 BENCHES = {"raft": bench_raft, "stage2": bench_stage2, "e2e": bench_e2e,
            "torchref": bench_torchref, "jaxcpu": bench_jaxcpu,
            "corr": bench_corr, "hardening": bench_hardening,
@@ -1265,6 +1375,7 @@ BENCHES = {"raft": bench_raft, "stage2": bench_stage2, "e2e": bench_e2e,
            "batch_parallel": lambda: bench_batch(parallel=True),
            "trained_stage2": bench_trained_stage2,
            "gt_real": bench_gt_real,
+           "gt_diag": bench_gt_diag,
            "warm": bench_warm,
            "cacheprobe": bench_cacheprobe,
            "cacheprobe2": bench_cacheprobe2,

@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="bfloat16",
                    help="stage-2 conv dtype: bfloat16 = 3.6-5.3x faster "
                         "filtering/refinement, float32 = reference numerics")
+    p.add_argument("--stage2_unpad", choices=["crop", "resize"],
+                   default="crop",
+                   help="map padded stage-2 outputs back to frame size: "
+                        "crop = exact (default), resize = the reference's "
+                        "squashing unpad-by-resize quirk (byte parity)")
     p.add_argument("--mask_provider", default=None,
                    choices=[None, "carvekit", "maskrcnn", "grabcut"],
                    help="mask backend for the seg path")
@@ -73,7 +78,8 @@ def args_to_configs(args) -> tuple[PipelineConfig, AtlasConfig]:
         ckpt_raft=args.ckpt_raft, config=args.config, down=args.down,
         root=args.root, results_root=args.results_root,
         max_long_edge=args.max_long_edge, mask_provider=args.mask_provider,
-        stage2_dtype=args.stage2_precision)
+        stage2_dtype=args.stage2_precision,
+        stage2_unpad=args.stage2_unpad)
     cfg_path = Path(args.config)
     atlas_cfg = (load_atlas_config(cfg_path) if cfg_path.exists()
                  else AtlasConfig())

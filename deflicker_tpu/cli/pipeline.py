@@ -373,7 +373,9 @@ def run_stage2(frames_dir: Path, cfg: PipelineConfig,
     if engine is None:
         engine = load_filter_engine(cfg.ckpt_filter, cfg.ckpt_local,
                                     mesh=mesh,
-                                    dtype=jnp.dtype(cfg.stage2_dtype))
+                                    dtype=jnp.dtype(cfg.stage2_dtype),
+                                    unpad=getattr(cfg, "stage2_unpad",
+                                                  "crop"))
     engine.run(frames_dir, style_dir, results_root / vid, fps=cfg.fps,
                return_output=False)
     return {"t_stage2": time.time() - t0,

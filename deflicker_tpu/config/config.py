@@ -175,3 +175,8 @@ class PipelineConfig:
     # v5e at 448x768 with <0.02% output deviation; set "float32" for
     # reference numerics (BASELINE.md).
     stage2_dtype: str = "bfloat16"
+    # stage-2 padded->original unpadding: "crop" (exact; default) or
+    # "resize" (the reference's unpad-by-resize quirk, which vertically
+    # squashes non-/32 frames by the padding amount — costs ~10 dB of
+    # final fidelity on a 90-row video, BENCH_E2E.json gt_diag)
+    stage2_unpad: str = "crop"

@@ -190,12 +190,26 @@ def refine_sequence_multi(variables: Dict, preds: jax.Array,
 class FilterEngine:
     def __init__(self, filter_variables: Dict, local_variables: Dict,
                  dtype=jnp.float32, batch: int = 8, mesh=None,
-                 span: int = 32):
+                 span: int = 32, unpad: str = "crop"):
         self.filter_variables = filter_variables
         self.local_variables = local_variables
         self.dtype = dtype
         self.batch = batch
         self.mesh = mesh
+        # How the padded (Hp, Wp) network outputs map back to (H, W) PNGs:
+        #   "crop"   — slice off the replicate padding (geometrically exact;
+        #              the default, and a deliberate DEVIATION from the
+        #              reference, which cv2.resize()s the padded frame to
+        #              org_size and thereby SQUASHES the image by up to
+        #              31 rows/cols (neural_filter_and_refinement.py:111-121
+        #              never calls InputPadder.unpad).  On a 90-row video
+        #              that misalignment costs ~10 dB of final fidelity —
+        #              measured in BENCH_E2E.json gt_diag.)
+        #   "resize" — the reference's unpad-by-resize quirk, byte-parity
+        #              with its outputs (tests/test_golden_e2e.py uses it).
+        if unpad not in ("crop", "resize"):
+            raise ValueError(f"unpad must be 'crop' or 'resize', got {unpad!r}")
+        self.unpad = unpad
         # streaming span: frames resident on device/host per refinement call
         # (a 1080p padded span of 32 is ~0.8 GB of preds in HBM)
         self.span = max(2, span)
@@ -260,9 +274,10 @@ class FilterEngine:
         return out[:T]
 
     def _write_span(self, s0, content, style, preds, refined, results_dir,
-                    save_concat, size):
+                    save_concat, size, padder):
         """PNG writes for one span (runs on the writer thread — pure
-        cv2/numpy, no JAX), with the reference's unpad-by-resize quirk."""
+        cv2/numpy, no JAX).  Padded (Hp, Wp) preds map back to (H, W) by
+        self.unpad: exact crop (default) or the reference's resize quirk."""
         import cv2
 
         W, H = size
@@ -270,9 +285,20 @@ class FilterEngine:
         concat_dir = results_dir / "neural_filter" / "concat"
         filter_dir = results_dir / "neural_filter" / "output"
         final_dir = results_dir / "final" / "output"
+        if self.unpad == "crop":
+            hp, wp = preds.shape[1:3]
+            preds = preds[:, padder.top:hp - padder.bottom,
+                          padder.left:wp - padder.right]
+            refined = refined[:, padder.top:hp - padder.bottom,
+                              padder.left:wp - padder.right]
         for t in range(preds.shape[0]):
-            p = cv2.resize(preds[t], (W, H), interpolation=cv2.INTER_LINEAR)
-            o = cv2.resize(refined[t], (W, H), interpolation=cv2.INTER_LINEAR)
+            if self.unpad == "crop":
+                p, o = preds[t], refined[t]
+            else:
+                p = cv2.resize(preds[t], (W, H),
+                               interpolation=cv2.INTER_LINEAR)
+                o = cv2.resize(refined[t], (W, H),
+                               interpolation=cv2.INTER_LINEAR)
             write_image(p, filter_dir / f"{s0 + t:05d}.png")
             write_image(o, final_dir / f"{s0 + t:05d}.png")
             if save_concat:
@@ -360,7 +386,7 @@ class FilterEngine:
                     pending.pop(0).result()
                 pending.append(writer.submit(
                     self._write_span, s0, content, style, preds_u8,
-                    refined_u8, results_dir, save_concat, (W, H)))
+                    refined_u8, results_dir, save_concat, (W, H), padder))
                 if return_output:
                     outputs.append(np.asarray(refined))
             for f in pending:
@@ -492,7 +518,8 @@ class FilterEngine:
                     pending.append(writer.submit(
                         self._write_span, s0, content[v, :nreal],
                         style[v, :nreal], preds_u8[v, :nreal],
-                        refined_u8[v, :nreal], rdir, save_concat, (W, H)))
+                        refined_u8[v, :nreal], rdir, save_concat, (W, H),
+                        padder))
                     if return_output:
                         outputs[v].append(np.asarray(refined[v, :nreal]))
             for f in pending:
@@ -537,7 +564,8 @@ def _resolve_ckpt(path: Optional[str | Path]) -> Optional[Path]:
 def load_filter_engine(ckpt_filter: Optional[str | Path],
                        ckpt_local: Optional[str | Path],
                        dtype=jnp.float32, batch: int = 8,
-                       seed: int = 2023, mesh=None) -> FilterEngine:
+                       seed: int = 2023, mesh=None,
+                       unpad: str = "crop") -> FilterEngine:
     """Build a FilterEngine from checkpoints.  A missing `.pth` falls back
     to an in-framework-trained `.ckpt` sibling (cli.train_stage2), then to
     seeded random init (smoke runs only — results are not meaningful, but
@@ -558,4 +586,5 @@ def load_filter_engine(ckpt_filter: Optional[str | Path],
              else unet_init(jax.random.key(seed)))
     lvars = (load_stage2_checkpoint(lpath) if lpath
              else transformnet_init(jax.random.key(seed + 1)))
-    return FilterEngine(fvars, lvars, dtype=dtype, batch=batch, mesh=mesh)
+    return FilterEngine(fvars, lvars, dtype=dtype, batch=batch, mesh=mesh,
+                        unpad=unpad)

@@ -133,8 +133,11 @@ def test_stage2_golden_parity(tmp_path, T):
         local_net)
 
     # ours: same content/style dirs, weights loaded from the .pth files
-    # through the public conversion path (cli --ckpt_filter/--ckpt_local)
-    engine = load_filter_engine(ckpt_filter, ckpt_local)
+    # through the public conversion path (cli --ckpt_filter/--ckpt_local).
+    # unpad="resize" opts into the reference's unpad-by-resize quirk this
+    # test asserts byte parity against (the production default is the
+    # geometrically-exact "crop" — see FilterEngine.unpad)
+    engine = load_filter_engine(ckpt_filter, ckpt_local, unpad="resize")
     ours_root = tmp_path / "our_results"
     engine.run(content_dir, style_dir, ours_root, fps=10, save_concat=False)
 

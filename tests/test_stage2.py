@@ -117,6 +117,43 @@ class TestFilterEngine:
         assert out0.shape == (H, W, 3)
         assert (results / "final/output.mp4").exists()
 
+    def test_unpad_crop_vs_resize(self, tmp_path):
+        """unpad="crop" (default) slices the replicate padding off exactly;
+        unpad="resize" reproduces the reference's squashing quirk
+        (neural_filter_and_refinement.py:111-121).  Checked directly on
+        _write_span with a marker pattern: under crop the written PNG is
+        the top-left (H, W) window of the padded frame byte-for-byte;
+        under resize it matches cv2.resize of the whole padded frame."""
+        import cv2
+
+        from deflicker_tpu.filter.engine import FilterEngine
+        from deflicker_tpu.ops.pad import Padder
+
+        rng = np.random.default_rng(7)
+        H, W = 40, 52                       # pads to 64x64 ('other' mode)
+        padder = Padder(H, W, divisor=32, mode="other")
+        Hp, Wp = padder.padded_hw
+        preds = rng.integers(0, 256, (2, Hp, Wp, 3), dtype=np.uint8)
+        refined = rng.integers(0, 256, (2, Hp, Wp, 3), dtype=np.uint8)
+        content = rng.integers(0, 256, (2, H, W, 3), dtype=np.uint8)
+
+        for mode in ("crop", "resize"):
+            eng = FilterEngine({}, {}, unpad=mode)
+            out = tmp_path / mode
+            eng._write_span(0, content, content, preds, refined, out,
+                            False, (W, H), padder)
+            for t in range(2):
+                got = cv2.imread(str(out / "final" / "output"
+                                     / f"{t:05d}.png"))[..., ::-1]
+                if mode == "crop":
+                    want = refined[t, padder.top:Hp - padder.bottom,
+                                   padder.left:Wp - padder.right]
+                else:
+                    want = cv2.resize(refined[t], (W, H),
+                                      interpolation=cv2.INTER_LINEAR)
+                assert got.shape == (H, W, 3)
+                np.testing.assert_array_equal(got, want, err_msg=mode)
+
     def test_refine_first_frame_identity(self):
         from deflicker_tpu.filter.engine import refine_sequence
         from deflicker_tpu.models.refine import transformnet_init
