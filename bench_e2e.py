@@ -169,7 +169,8 @@ def bench_e2e(iters=None, down=4):
     from deflicker_tpu.cli.main import args_to_configs, build_parser
 
     video = "/root/reference/data/test/Winter_Scenes_in_Holland.mp4"
-    iters = iters or int(os.environ.get("BENCH_E2E_ITERS", 10001))
+    if iters is None:
+        iters = int(os.environ.get("BENCH_E2E_ITERS", 10001))
     with tempfile.TemporaryDirectory() as td:
         argv = ["--video_name", video, "--down", str(down),
                 "--iters", str(iters),
@@ -196,6 +197,7 @@ def bench_e2e(iters=None, down=4):
         "final_psnr": round(m["final_psnr"], 2)
         if m.get("final_psnr") is not None else None,
         "stage2_weights": _stage2_weights_kind(cfg),
+        "stage2_unpad": "crop",
         "input_ewarp_x100": round(m["input_ewarp"] * 100, 3)
         if m.get("input_ewarp") is not None else None,
         "final_ewarp_x100": round(m["final_ewarp"] * 100, 3)
@@ -203,6 +205,50 @@ def bench_e2e(iters=None, down=4):
         "device": _device_str(),
         "note": "host<->device transfers ride a ~5 MB/s dev tunnel here; "
                 "t_render/t_stage2 are transfer-dominated in this env",
+    }})
+
+
+def bench_e2e_dual(iters=None, down=4):
+    """Dual-atlas (seg) e2e quality — benchmark configs 3/4 analog with the
+    grabcut mask fallback (carvekit/detectron2 absent here).  Reproducible
+    replacement for the round-3 ad-hoc run behind `e2e_quality_dual`."""
+    import os
+    import tempfile
+
+    from deflicker_tpu.cli.main import args_to_configs, build_parser
+    from deflicker_tpu.cli.pipeline import run_pipeline
+
+    video = "/root/reference/data/test/Winter_Scenes_in_Holland.mp4"
+    if iters is None:
+        iters = int(os.environ.get("BENCH_E2E_ITERS", 10001))
+    with tempfile.TemporaryDirectory() as td:
+        argv = ["--video_name", video, "--down", str(down),
+                "--iters", str(iters),
+                "--class_name", "anything", "--mask_provider", "grabcut",
+                "--root", str(Path(td) / "data"),
+                "--results_root", str(Path(td) / "results")]
+        cfg, atlas_cfg = args_to_configs(build_parser().parse_args(argv))
+        m = run_pipeline(cfg, atlas_cfg)
+    _merge({"e2e_dual": {
+        "metric": "dual_atlas_seg_end_to_end",
+        "value": round(m["frames_per_sec"], 3),
+        "frames": m["num_frames"], "iters": iters, "down": down,
+        "t_total": round(m["t_total"], 1),
+        "breakdown": {k: round(m[k], 1) for k in
+                      ("t_flow", "t_pretrain", "t_fit", "t_render",
+                       "t_stage2") if k in m},
+        "stage1_dual_psnr": round(m["psnr"], 2),
+        "final_psnr": round(m["final_psnr"], 2)
+        if m.get("final_psnr") is not None else None,
+        "input_ewarp_x100": round(m["input_ewarp"] * 100, 3)
+        if m.get("input_ewarp") is not None else None,
+        "final_ewarp_x100": round(m["final_ewarp"] * 100, 3)
+        if m.get("final_ewarp") is not None else None,
+        "stage2_weights": _stage2_weights_kind(cfg),
+        "stage2_unpad": "crop",
+        "device": _device_str(),
+        "config": "Winter Scenes, --class_name anything --mask_provider "
+                  f"grabcut --down {down} --iters {iters}",
     }})
 
 
@@ -545,7 +591,8 @@ def bench_batch(n_clips=3, iters=None, parallel=False):
 
     from deflicker_tpu.cli.batch import main as batch_main
 
-    iters = iters or int(os.environ.get("BENCH_BATCH_ITERS", 10001))
+    if iters is None:
+        iters = int(os.environ.get("BENCH_BATCH_ITERS", 10001))
     src = "/root/reference/data/test/Winter_Scenes_in_Holland.mp4"
     cap = cv2.VideoCapture(src)
     fps = cap.get(cv2.CAP_PROP_FPS)
@@ -972,8 +1019,8 @@ if os.environ.get("CP3_COMPILE") == "1":
     low = log.lower()
     rec["miss"] = f"MISS for '{name}'" in log
     rec["wrote"] = f"Writing {name}" in log
-    rec["hit"] = (f"cache hit for '{name}'" in low
-                  or (keys and not rec["miss"]))
+    rec["hit"] = bool(f"cache hit for '{name}'" in low
+                      or (keys and not rec["miss"]))
     rec["key"] = keys[0] if keys else None
     rec["log_chunk_lines"] = [ln for ln in log.splitlines()
                               if name in ln][:12]
@@ -1030,6 +1077,9 @@ def bench_cacheprobe3():
                 if x != y:
                     out["first_diff"] = {"line": j, "a": x[:200], "b": y[:200]}
                     break
+            else:                       # one text is a prefix of the other
+                out["first_diff"] = {"length_mismatch":
+                                     {"a_lines": len(a), "b_lines": len(b)}}
 
     if os.environ.get("CP3_PHASE_B") == "1":
         runs_b = []
@@ -1193,6 +1243,7 @@ def bench_gt_real(iters=None):
                # not absolute real-footage reconstruction quality
                "clean_is_in_model_family": True,
                "stage2_weights": _stage2_weights_kind(d._pipe_cfg()),
+               "stage2_unpad": "crop",
                "cleangen_t_total": round(m0["t_total"], 1),
                "device": _device_str(), "folds": {}}
         # additional stage-2 weight sets (dirs holding neural_filter.ckpt +
@@ -1369,6 +1420,7 @@ def bench_gt_diag(iters=None):
 
 
 BENCHES = {"raft": bench_raft, "stage2": bench_stage2, "e2e": bench_e2e,
+           "e2e_dual": bench_e2e_dual,
            "torchref": bench_torchref, "jaxcpu": bench_jaxcpu,
            "corr": bench_corr, "hardening": bench_hardening,
            "batch": bench_batch,

@@ -39,6 +39,7 @@ class Deflickerer:
                  root: str = "data/test/",
                  results_root: str = "results",
                  stage2_dtype: str = "bfloat16",
+                 stage2_unpad: str = "crop",
                  mesh: object = "auto"):
         self.ckpt_raft = ckpt_raft
         self.ckpt_filter = ckpt_filter
@@ -46,6 +47,7 @@ class Deflickerer:
         self.root = root
         self.results_root = results_root
         self.stage2_dtype = stage2_dtype
+        self.stage2_unpad = stage2_unpad
         cfg_path = Path(config)
         self.atlas_cfg = (load_atlas_config(cfg_path) if cfg_path.exists()
                           else AtlasConfig())
@@ -80,14 +82,16 @@ class Deflickerer:
 
             self._filter_engine = load_filter_engine(
                 self.ckpt_filter, self.ckpt_local, mesh=self.mesh,
-                dtype=jnp.dtype(self.stage2_dtype))
+                dtype=jnp.dtype(self.stage2_dtype),
+                unpad=self.stage2_unpad)
         return self._filter_engine
 
     def _pipe_cfg(self, **overrides) -> PipelineConfig:
         base = dict(ckpt_raft=self.ckpt_raft, ckpt_filter=self.ckpt_filter,
                     ckpt_local=self.ckpt_local, root=self.root,
                     results_root=self.results_root,
-                    stage2_dtype=self.stage2_dtype)
+                    stage2_dtype=self.stage2_dtype,
+                    stage2_unpad=self.stage2_unpad)
         base.update(overrides)
         return PipelineConfig(**base)
 

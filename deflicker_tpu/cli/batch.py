@@ -51,7 +51,8 @@ def run_batch_parallel(videos, args, atlas_cfg, mesh=None) -> dict:
             ckpt_raft=args.ckpt_raft, ckpt_filter=args.ckpt_filter,
             ckpt_local=args.ckpt_local,
             mask_provider=getattr(args, "mask_provider", None),
-            stage2_dtype=getattr(args, "stage2_precision", "bfloat16"))
+            stage2_dtype=getattr(args, "stage2_precision", "bfloat16"),
+            stage2_unpad=getattr(args, "stage2_unpad", "crop"))
 
     t0 = time.time()
     # host/RAFT preprocessing stays per video (batched internally)
@@ -123,7 +124,8 @@ def run_batch_parallel(videos, args, atlas_cfg, mesh=None) -> dict:
 
     engine = load_filter_engine(
         args.ckpt_filter, args.ckpt_local, mesh=mesh,
-        dtype=jnp.dtype(getattr(args, "stage2_precision", "bfloat16")))
+        dtype=jnp.dtype(getattr(args, "stage2_precision", "bfloat16")),
+        unpad=getattr(args, "stage2_unpad", "crop"))
     res_groups = {}
     for i, fd in enumerate(frames_dirs):
         hw = read_image(list_frames(fd)[0]).shape[:2]
@@ -191,6 +193,11 @@ def main(argv=None) -> int:
                         "video-axis-sharded over the mesh)")
     p.add_argument("--stage2_precision", choices=["float32", "bfloat16"],
                    default="bfloat16")
+    p.add_argument("--stage2_unpad", choices=["crop", "resize"],
+                   default="crop",
+                   help="map padded stage-2 outputs back to frame size: "
+                        "exact crop (default) or the reference's "
+                        "unpad-by-resize quirk (byte parity)")
     p.add_argument("--dcn", action="store_true",
                    help="multi-host fan-out: initialize jax.distributed "
                         "(JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
@@ -260,7 +267,8 @@ def main(argv=None) -> int:
             down=args.down, root=args.root, results_root=args.results_root,
             ckpt_raft=args.ckpt_raft, ckpt_filter=args.ckpt_filter,
             ckpt_local=args.ckpt_local,
-            stage2_dtype=args.stage2_precision)
+            stage2_dtype=args.stage2_precision,
+            stage2_unpad=args.stage2_unpad)
         out = run_pipeline(cfg, atlas_cfg, mesh=mesh)
         total_frames += out["num_frames"]
         print(json.dumps({"video": Path(v).stem,

@@ -2,9 +2,10 @@
 
 The reference pays its full startup (checkpoint loads + CUDA warmup) per
 video (test.py spawns a fresh process chain each run, SURVEY.md §1); in
-this environment the analogous cost is the remote XLA compile every fresh
-process repays (CLAUDE.md: axon programs don't persist in the compile
-cache).  This daemon wraps `api.Deflickerer` so N videos pay ONE compile:
+this environment the analogous cost is the remote XLA compile (persistent
+-cache hits are ~0.3 s, but the remote compile server's cold-state misses
+run minutes — CLAUDE.md).  This daemon wraps `api.Deflickerer` so N
+videos share one in-process warm state:
 
     # line-oriented job protocol on stdin -> result JSON per line on stdout
     python -m deflicker_tpu.cli.serve
@@ -116,6 +117,8 @@ def main(argv=None):
                     default="./pretrained_weights/local_refinement_net.pth")
     ap.add_argument("--config", default="config_flow_100.json")
     ap.add_argument("--stage2_precision", default="bfloat16")
+    ap.add_argument("--stage2_unpad", choices=["crop", "resize"],
+                    default="crop")
     args = ap.parse_args(argv)
 
     from ..api import Deflickerer
@@ -123,7 +126,8 @@ def main(argv=None):
     d = Deflickerer(ckpt_raft=args.ckpt_raft, ckpt_filter=args.ckpt_filter,
                     ckpt_local=args.ckpt_local, config=args.config,
                     root=args.root, results_root=args.results_root,
-                    stage2_dtype=args.stage2_precision)
+                    stage2_dtype=args.stage2_precision,
+                    stage2_unpad=args.stage2_unpad)
     print(json.dumps({"ok": True, "status": "ready",
                       "mesh": getattr(d.mesh, "shape", None) and
                       dict(d.mesh.shape)}), flush=True)

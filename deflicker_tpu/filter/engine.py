@@ -7,10 +7,13 @@ TPU-native redesign of `src/neural_filter_and_refinement.py:89-130`:
   * the refinement recurrence O_t = P_t + TransformNet(P_t, O_{t-1}, P_t,
     P_{t-1}) is a `lax.scan` over frames (one compile, state stays in HBM;
     the reference's Python loop crosses host<->device per frame);
-  * I/O quirk replicated: frames are padded to /32 ('other' mode: width
-    split, height all-bottom, replicate — src/models/utils.py:626-645) and
-    outputs are RESIZED back to the original size rather than cropped
-    (neural_filter_and_refinement.py:111-121).
+  * frames are padded to /32 ('other' mode: width split, height
+    all-bottom, replicate — src/models/utils.py:626-645); padded outputs
+    map back to frame size by EXACT CROP by default — a deliberate
+    deviation from the reference, which RESIZES the padded frame
+    (neural_filter_and_refinement.py:111-121) and thereby squashes the
+    image by up to 31 rows/cols.  The reference quirk stays available as
+    unpad='resize' (byte-parity mode, tests/test_golden_e2e.py).
 
 Output contract (identical to the reference):
   results/<vid>/neural_filter/concat/%05d.png   (content | atlas | filtered)
