@@ -1,0 +1,379 @@
+#!/usr/bin/env python
+"""Roofline / speed-of-light analysis for RAFT and stage 2 (VERDICT r4 #3).
+
+The fit step got this treatment in round 3 (`bench_fitstep.py sol`: 48.2%
+of bf16 MXU peak, compute-bound); this script gives RAFT and the stage-2
+networks the same rigor at production shapes:
+
+  sol       count every component's matmul/conv FLOPs (XLA HLO cost
+            analysis on the exact modules, CPU-lowered in a subprocess so
+            the TPU stays free) + the Pallas corr kernel's analytic DMA
+            bytes, and compare against the v5e peaks at the measured
+            rates (BENCH_E2E.json raft/stage2) -> % of peak per stage,
+            binding resource, and the zero-overhead ceiling.
+
+  corr_ab   measured A/B on the chip for the RAFT lever the sol analysis
+            names (corr-lookup DMA): resident-level kernel variant and/or
+            pipeline depth (see ops/pallas/corr_kernel.py).
+
+  stage2_ab measured A/B for the stage-2 lever: UNet filter batch scaling
+            (the conv shapes are narrow-channel; batching is the only
+            free axis) + refine-scan span occupancy.
+
+Hardware model (TPU v5e, one chip): 197 TFLOP/s bf16 MXU,
+819 GB/s HBM bandwidth.
+
+Reference hot spots these stages map to:
+/root/reference/src/models/stage_1/core/corr.py:33-64 (lookup),
+/root/reference/src/neural_filter_and_refinement.py:89-109 (stage 2).
+"""
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+OUT = Path(__file__).parent / "BENCH_E2E.json"
+
+V5E_BF16_PEAK = 197e12     # FLOP/s
+V5E_HBM_BW = 819e9         # bytes/s
+
+# production shapes: the bundled test video is 640x360 (no /8 pad needed);
+# stage 2 pads 432x768 -> 448x768
+RAFT_H, RAFT_W = 360, 640
+S2_H, S2_W = 448, 768
+RAFT_ITERS = 20
+K = 9                       # 2*radius+1
+LEVELS = 4
+
+
+def _merge(update: dict) -> None:
+    cur = json.loads(OUT.read_text()) if OUT.exists() else {}
+    cur.update(update)
+    OUT.write_text(json.dumps(cur, indent=2) + "\n")
+    print(json.dumps(update, indent=2))
+
+
+_COUNT_CHILD = r'''
+import json
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from deflicker_tpu.models.raft import (HIDDEN_DIM, RAFTModules, raft_init,
+                                       CORR_LEVELS, CORR_RADIUS)
+from deflicker_tpu.models.refine import TransformNet, transformnet_init
+from deflicker_tpu.models.unet import UNet, unet_init
+from deflicker_tpu.ops.convex_upsample import convex_upsample_flow
+
+def flops(fn, *args):
+    lowered = jax.jit(fn).lower(*args)
+    try:
+        ca = lowered.cost_analysis()
+    except Exception:
+        ca = lowered.compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca["flops"])
+
+H, W = %d, %d
+H8, W8 = H // 8, W // 8
+dt = jnp.bfloat16
+z = lambda *s: jnp.zeros(s, jnp.float32)
+
+rvars = raft_init(jax.random.key(0), dtype=dt, image_hw=(64, 64))
+apply = lambda v, *a, method: RAFTModules(dtype=dt).apply(v, *a,
+                                                          method=method)
+out = {}
+out["fnet_2img"] = flops(
+    lambda v, x: apply(v, x, method=lambda m, x: m.fnet(x)),
+    rvars, z(2, H, W, 3))
+out["cnet"] = flops(
+    lambda v, x: apply(v, x, method=lambda m, x: m.cnet(x)),
+    rvars, z(1, H, W, 3))
+corr_ch = CORR_LEVELS * (2 * CORR_RADIUS + 1) ** 2
+out["update_per_iter"] = flops(
+    lambda v, net, inp, corr, flow: apply(
+        v, net, inp, corr, flow, method=lambda m, *a: m.update_block(*a)),
+    rvars, z(1, H8, W8, HIDDEN_DIM), z(1, H8, W8, HIDDEN_DIM),
+    z(1, H8, W8, corr_ch), z(1, H8, W8, 2))
+out["mask_head"] = flops(
+    lambda v, net: apply(v, net,
+                         method=lambda m, x: m.update_block.mask_head(x)),
+    rvars, z(1, H8, W8, HIDDEN_DIM))
+out["convex_upsample"] = flops(convex_upsample_flow,
+                               z(1, H8, W8, 2), z(1, H8, W8, 64 * 9))
+
+S2H, S2W = %d, %d
+uvars = unet_init(jax.random.key(1))
+out["unet_per_frame"] = flops(
+    lambda v, x: UNet(in_channels=6, out_channels=3, features=32,
+                      dtype=dt).apply(v, x),
+    uvars, z(1, S2H, S2W, 6))
+tvars = transformnet_init(jax.random.key(2))
+out["transformnet_per_frame"] = flops(
+    lambda v, x: TransformNet(nf=32, blocks=5, nc_out=3, dtype=dt).apply(v, x),
+    tvars, z(1, S2H, S2W, 12))
+print("COUNTS" + json.dumps(out))
+''' % (RAFT_H, RAFT_W, S2_H, S2_W)
+
+
+def _component_flops() -> dict:
+    p = subprocess.run([sys.executable, "-c", _COUNT_CHILD],
+                       capture_output=True, text=True, timeout=1800,
+                       cwd=str(Path(__file__).parent))
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("COUNTS")]
+    assert line, p.stdout + p.stderr
+    return json.loads(line[-1][6:])
+
+
+def _corr_kernel_model(n_pix: int, D: int = 256) -> dict:
+    """Analytic per-lookup cost of the Pallas corr kernel
+    (ops/pallas/corr_kernel.py): per pixel per level, one contiguous
+    (K+1, PATCH_W, D) bf16 band DMA + a (K, PATCH_W, D)x(D,) contraction +
+    a (K, PATCH_W)x(PATCH_W, K) selection matmul."""
+    from deflicker_tpu.ops.pallas.corr_kernel import PATCH_W
+
+    band_bytes = (K + 1) * PATCH_W * D * 2                  # bf16
+    dma_bytes = n_pix * LEVELS * band_bytes
+    dma_bytes += n_pix * D * 4                              # f1 read (f32)
+    dma_bytes += n_pix * LEVELS * K * K * 4                 # out write (f32)
+    flops = n_pix * LEVELS * (2 * K * PATCH_W * D           # Z = Y . f1
+                              + 2 * K * PATCH_W * K)        # out = Z . X
+    return {"dma_bytes": dma_bytes, "flops": flops,
+            "band_bytes_per_px_level": band_bytes,
+            "window_bytes_per_px_level": (K + 1) * (K + 1) * D * 2,
+            "patch_w": PATCH_W}
+
+
+def sol():
+    """FLOP/byte counts -> % of v5e peak at the measured rates."""
+    bench = json.loads(OUT.read_text()) if OUT.exists() else {}
+    c = _component_flops()
+    n_pix = (RAFT_H // 8) * (RAFT_W // 8)
+    corr = _corr_kernel_model(n_pix)
+
+    # ---- RAFT: per flow field (= one pair-direction forward) ----
+    conv_flops = (c["fnet_2img"] + c["cnet"]
+                  + RAFT_ITERS * c["update_per_iter"]
+                  + c["mask_head"] + c["convex_upsample"])
+    corr_flops = RAFT_ITERS * corr["flops"]
+    corr_dma = RAFT_ITERS * corr["dma_bytes"]
+    # all-pairs matmul absent in pallas mode; fmap pyramid pooling ~free
+
+    measured = bench.get("raft", {}).get("value")           # fields/s
+    raft = {
+        "shape": f"{RAFT_H}x{RAFT_W} (1/8 grid {RAFT_H//8}x{RAFT_W//8}), "
+                 f"{RAFT_ITERS} GRU iters, bf16, pallas corr",
+        "conv_gflops_per_field": round(conv_flops / 1e9, 2),
+        "conv_breakdown_gflops": {k: round(c[k] / 1e9, 2) for k in
+                                  ("fnet_2img", "cnet", "update_per_iter",
+                                   "mask_head", "convex_upsample")},
+        "corr_lookup_gflops_per_field": round(corr_flops / 1e9, 2),
+        "corr_lookup_dma_gb_per_field": round(corr_dma / 1e9, 3),
+        "corr_band_overfetch_x": round(corr["band_bytes_per_px_level"]
+                                       / corr["window_bytes_per_px_level"],
+                                       2),
+        "floors_ms": {
+            "conv_mxu": round(conv_flops / V5E_BF16_PEAK * 1e3, 2),
+            "corr_dma": round(corr_dma / V5E_HBM_BW * 1e3, 2),
+            "corr_mxu": round(corr_flops / V5E_BF16_PEAK * 1e3, 2),
+        },
+    }
+    # the lookup and the update convs are data-dependent (corr feeds the
+    # GRU), so phases ADD: the additive floor is the honest ceiling
+    floor_s = (conv_flops / V5E_BF16_PEAK + corr_dma / V5E_HBM_BW)
+    raft["sol_fields_per_sec"] = round(1.0 / floor_s, 2)
+    if measured:
+        t_field = 1.0 / measured
+        raft["measured_fields_per_sec"] = measured
+        raft["pct_of_additive_floor"] = round(100 * floor_s / t_field, 1)
+        raft["achieved_conv_tflops"] = round(conv_flops / t_field / 1e12, 2)
+        raft["mxu_utilization_pct"] = round(
+            100 * (conv_flops + corr_flops) / t_field / V5E_BF16_PEAK, 1)
+        raft["corr_dma_achieved_gbps_if_dma_bound"] = round(
+            corr_dma / t_field / 1e9, 1)
+        raft["binding_resource"] = (
+            "corr DMA" if corr_dma / V5E_HBM_BW
+            > conv_flops / V5E_BF16_PEAK else "conv MXU")
+
+    # ---- stage 2: per frame ----
+    s2 = bench.get("stage2", {}).get("bf16", {})
+    stage2 = {"shape": f"{S2_H}x{S2_W} padded, bf16",
+              "unet_gflops_per_frame": round(c["unet_per_frame"] / 1e9, 2),
+              "transformnet_gflops_per_frame": round(
+                  c["transformnet_per_frame"] / 1e9, 2)}
+    for net, key, fkey in (("unet", "unet_per_frame", "filter_fps"),
+                           ("transformnet", "transformnet_per_frame",
+                            "refine_fps")):
+        fps = s2.get(fkey)
+        if fps:
+            stage2[f"{net}_measured_fps"] = fps
+            stage2[f"{net}_achieved_tflops"] = round(
+                c[key] * fps / 1e12, 2)
+            stage2[f"{net}_mxu_utilization_pct"] = round(
+                100 * c[key] * fps / V5E_BF16_PEAK, 2)
+            stage2[f"{net}_sol_fps_at_peak"] = round(
+                V5E_BF16_PEAK / c[key], 0)
+    # activation-traffic floor: the narrow-channel convs are bandwidth-
+    # heavy; estimate bytes as 2x (read+write) the per-layer activation
+    # maps at bf16 — a lower bound XLA fusion can approach but not beat
+    stage2["note"] = ("32-feature convs cannot fill the 128-lane MXU; "
+                      "utilization is structurally capped near "
+                      "features/128 x K^2-packing — see stage2_ab for the "
+                      "measured batch-scaling response")
+
+    _merge({"roofline": {"metric": "raft_stage2_speed_of_light",
+                         "raft": raft, "stage2": stage2,
+                         "peaks": {"bf16_tflops": V5E_BF16_PEAK / 1e12,
+                                   "hbm_gbps": V5E_HBM_BW / 1e9}}})
+
+
+def stage2_ab(reps=3):
+    """Measured stage-2 lever: UNet filter batch scaling at production
+    shapes + refine-scan per-step occupancy probe (batching the V axis —
+    the only parallel axis the recurrence allows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deflicker_tpu.filter.engine import (filter_frames,
+                                             refine_sequence_multi)
+    from deflicker_tpu.models.refine import transformnet_init
+    from deflicker_tpu.models.unet import unet_init
+
+    rng = np.random.default_rng(0)
+    fvars = unet_init(jax.random.key(0))
+    lvars = transformnet_init(jax.random.key(1))
+    rec = {"metric": "stage2_batch_scaling_ab",
+           "shape": f"{S2_H}x{S2_W}, bf16"}
+
+    filt = {}
+    for B in (2, 4, 8, 16, 32):
+        content = jnp.asarray(rng.uniform(
+            0, 1, (B, S2_H, S2_W, 3)).astype(np.float32))
+        style = jnp.asarray(rng.uniform(
+            0, 1, (B, S2_H, S2_W, 3)).astype(np.float32))
+
+        def run():
+            p = filter_frames(fvars, content, style, dtype=jnp.bfloat16)
+            return float(p[0, 0, 0, 0])
+
+        run()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            run()
+        dt = (time.perf_counter() - t0) / reps
+        filt[f"batch_{B}"] = round(B / dt, 1)
+        print(f"filter batch {B}: {B/dt:.1f} f/s", flush=True)
+    rec["filter_fps_by_batch"] = filt
+
+    refine = {}
+    T = 16
+    for V in (1, 2, 4):
+        preds = jnp.asarray(rng.uniform(
+            0, 1, (V, T, S2_H, S2_W, 3)).astype(np.float32))
+
+        def run():
+            o = refine_sequence_multi(lvars, preds, dtype=jnp.bfloat16)
+            return float(o[0, -1, 0, 0, 0])
+
+        run()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            run()
+        dt = (time.perf_counter() - t0) / reps
+        refine[f"V_{V}"] = round(V * T / dt, 1)
+        print(f"refine V={V}: {V*T/dt:.1f} f/s aggregate", flush=True)
+    rec["refine_fps_by_lockstep_videos"] = refine
+    _merge({"stage2_ab": rec})
+
+
+def corr_ab(reps=3, iters=20):
+    """Measured RAFT lever: corr-lookup kernel variants at the production
+    level-0 grid (45x80).  Variants come from ops/pallas/corr_kernel.py
+    (DEFLICKER_CORR_RESIDENT gates the VMEM-resident small-level path if
+    built).  Reports ms per `iters`-lookup GRU sequence like BENCH_E2E
+    'corr'."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from deflicker_tpu.models.raft import build_fmap_pyramid
+    from deflicker_tpu.ops.pallas.corr_kernel import (corr_lookup_pallas,
+                                                      pad_fmap_pyramid)
+
+    rng = np.random.default_rng(0)
+    H, W, D = 45, 80, 256
+    f1 = jnp.asarray(rng.normal(size=(1, H, W, D)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(1, H, W, D)).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(H, dtype=np.float32),
+                         np.arange(W, dtype=np.float32), indexing="ij")
+    coords0 = jnp.asarray(np.stack([xs, ys], -1)[None])
+
+    def seq_time(env: dict) -> float:
+        for k, v in env.items():
+            os.environ[k] = v
+
+        @jax.jit
+        def fn(f1, f2, c0):
+            pad = pad_fmap_pyramid(build_fmap_pyramid(f2),
+                                   dtype=jnp.bfloat16)
+
+            def step(c, _):
+                corr = corr_lookup_pallas(f1, pad, c)
+                return c + 0.07 * jnp.tanh(corr[..., :2]), ()
+
+            c, _ = jax.lax.scan(step, c0, None, length=iters)
+            return c
+
+        out = fn(f1, f2, coords0)
+        float(out[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(f1, f2, coords0)
+            float(out[0, 0, 0, 0])
+        dt = (time.perf_counter() - t0) / reps
+        for k in env:
+            os.environ.pop(k, None)
+        return dt * 1e3
+
+    rec = {"metric": "corr_lookup_variant_ab",
+           "shape": f"level0 {H}x{W}, D={D}, {iters}-lookup sequence"}
+    rec["dma_band_ms"] = round(seq_time({"DEFLICKER_CORR_RESIDENT": "0"}), 1)
+    print(json.dumps(rec), flush=True)
+    try:
+        rec["resident_ms"] = round(
+            seq_time({"DEFLICKER_CORR_RESIDENT": "1"}), 1)
+
+        # numerics: one lookup, both kernel bodies, same inputs
+        def once(resident: str):
+            os.environ["DEFLICKER_CORR_RESIDENT"] = resident
+
+            @jax.jit
+            def fn(f1, f2, c0):
+                pad = pad_fmap_pyramid(build_fmap_pyramid(f2),
+                                       dtype=jnp.bfloat16)
+                return corr_lookup_pallas(f1, pad, c0)
+
+            out = np.asarray(fn(f1, f2, coords0))
+            os.environ.pop("DEFLICKER_CORR_RESIDENT", None)
+            return out
+
+        diff = float(np.max(np.abs(once("1") - once("0"))))
+        rec["resident_vs_dma_max_abs_diff"] = diff
+        rec["resident_ok"] = diff < 1e-2
+    except Exception as e:
+        rec["resident_ms"] = f"failed: {str(e)[:300]}"
+    print(json.dumps(rec), flush=True)
+    _merge({"corr_ab": rec})
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["sol"]
+    for n in names:
+        {"sol": sol, "stage2_ab": stage2_ab, "corr_ab": corr_ab}[n]()

@@ -64,6 +64,22 @@ GROUP = 8            # pixels per DMA/compute round
 ALIGN = 16           # x-offset alignment of the fetched band (bf16 sublane)
 PATCH_W = 32         # band width: ALIGN-1 max shift + (K+1) window + slack
 
+# Small pyramid levels skip the per-pixel band DMA entirely: the whole
+# padded level rides into VMEM once per grid cell (Pallas block revisiting
+# caches it across chunk steps) and the x-selection one-hot spans the full
+# level width.  At the production 45x80 grid this removes 3 of the 4
+# levels' band traffic — the lookup's dominant HBM cost (bench_roofline
+# sol: the (K+1) x PATCH_W band overfetches the true window 3.2x, and the
+# per-pixel band bytes are level-size-INDEPENDENT, so tiny levels pay the
+# same DMA as level 0).  Gate: DEFLICKER_CORR_RESIDENT=0 disables.
+RESIDENT_MAX_BYTES = 5 * 1024 * 1024
+
+
+def _resident_enabled() -> bool:
+    import os
+
+    return os.environ.get("DEFLICKER_CORR_RESIDENT", "1") != "0"
+
 
 def corr_pallas_available() -> bool:
     return _PALLAS_OK and jax.default_backend() == "tpu"
@@ -176,6 +192,104 @@ def _level_kernel(radius: int, true_d: int, compute_dtype,
         return 0
 
     jax.lax.fori_loop(0, n_groups, body, 0)
+
+
+def _resident_kernel(radius: int, true_d: int, compute_dtype,
+                     x0_ref, y0_ref, wx_ref, wy_ref, f1_ref, f2_ref,
+                     out_ref, z_buf, y0_s, idx_sems):
+    """VMEM-resident variant of `_level_kernel` for small pyramid levels.
+
+    The whole padded level sits in VMEM (f2_ref block), so there is no
+    per-pixel band DMA and no x alignment constraint: each pixel slices
+    its (K+1)-row strip at a dynamic MAJOR-dim offset (always legal),
+    y-interpolates, contracts against its query feature, and the
+    x-selection one-hot spans the full padded width Wp instead of a
+    PATCH_W band (dx is simply x0, the window's left edge in padded level
+    coords).  Extra VPU work vs the band path is Wp/PATCH_W per pixel —
+    cheap next to the DMA it deletes (bench_roofline corr_ab)."""
+    K = 2 * radius + 1
+    inv_sqrt_d = 1.0 / (true_d ** 0.5)
+    n_groups = CHUNK // GROUP
+    Wp = f2_ref.shape[2]
+
+    cp_y = pltpu.make_async_copy(y0_ref, y0_s, idx_sems.at[0])
+    cp_y.start()
+    cp_y.wait()
+
+    def body(g, _):
+        i0 = g * GROUP
+        f1g = f1_ref[0, pl.ds(i0, GROUP), :].astype(compute_dtype)  # (G, D)
+        wyg = wy_ref[0, pl.ds(i0, GROUP), :].astype(compute_dtype)  # (G, 1)
+        # per-pixel strips: dynamic offsets on the MAJOR (row) dim only
+        for j in range(GROUP):
+            strip = f2_ref[0, pl.ds(y0_s[0, i0 + j, 0], K + 1), :, :]
+            strip = strip.astype(compute_dtype)          # (K+1, Wp, D)
+            wy = wyg[j, 0]
+            y = (1.0 - wy) * strip[:K] + wy * strip[1:]  # (K, Wp, D)
+            z_buf[j] = jnp.sum(y * f1g[j][None, None, :],
+                               axis=-1).astype(jnp.float32)   # (K, Wp)
+
+        z = z_buf[...]                                   # (G, K, Wp)
+        dxi = x0_ref[0, pl.ds(i0, GROUP), :][:, :, None].astype(jnp.int32)
+        wx = wx_ref[0, pl.ds(i0, GROUP), :][:, :, None].astype(jnp.float32)
+        k_i = jax.lax.broadcasted_iota(jnp.int32, (Wp, K), 0)[None]
+        p_i = jax.lax.broadcasted_iota(jnp.int32, (Wp, K), 1)[None]
+        m0 = (k_i == dxi + p_i).astype(jnp.float32)
+        m1 = (k_i == dxi + p_i + 1).astype(jnp.float32)
+        xm = (1.0 - wx) * m0 + wx * m1                   # (G, Wp, K)
+        corr = jax.lax.dot_general(
+            xm, z, (((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # (G, K[x], K[y])
+        out_ref[0, pl.ds(i0, GROUP), :, :] = corr * inv_sqrt_d
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+
+
+def _lookup_level_resident(fmap1_flat: jax.Array, f2_padded: jax.Array,
+                           x0: jax.Array, y0: jax.Array, wx: jax.Array,
+                           wy: jax.Array, radius: int, true_d: int,
+                           compute_dtype, interpret: bool) -> jax.Array:
+    """Resident-level dispatch: same contract as `_lookup_level` but takes
+    the UNALIGNED window edge x0 directly (no band, no dx)."""
+    B, Np, D = fmap1_flat.shape
+    K = 2 * radius + 1
+    n_chunks = Np // CHUNK
+    _, Hp, Wp, Dp = f2_padded.shape
+
+    kern = functools.partial(_resident_kernel, radius, true_d, compute_dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK, 1), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),       # x0
+            pl.BlockSpec((1, CHUNK, 1), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),       # y0
+            pl.BlockSpec((1, CHUNK, 1), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),       # wx
+            pl.BlockSpec((1, CHUNK, 1), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),       # wy
+            pl.BlockSpec((1, CHUNK, D), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),       # fmap1
+            # the WHOLE padded level as one VMEM block; every chunk step
+            # maps to the same block index, so Pallas re-fetches it only
+            # when b changes (block revisiting)
+            pl.BlockSpec((1, Hp, Wp, Dp), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, CHUNK, K, K), lambda b, c: (b, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, K, K), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((GROUP, K, Wp), jnp.float32),
+            pltpu.SMEM((1, CHUNK, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        interpret=interpret,
+    )(x0[..., None].astype(jnp.float32), y0[..., None], wx, wy, fmap1_flat,
+      f2_padded)
 
 
 def _lookup_level(fmap1_flat: jax.Array, f2_padded: jax.Array,
@@ -291,12 +405,18 @@ def corr_lookup_pallas(fmap1: jax.Array,
         # top-left corner of the (K+1, K+1) window in PADDED level coords
         x0 = (fx - radius).astype(jnp.int32) + P
         y0 = (fy - radius).astype(jnp.int32) + P
-        x0a = (x0 // ALIGN) * ALIGN
-        dx = (x0 - x0a).astype(jnp.float32)[..., None]
         wx = (lx - fx)[..., None]
         wy = (ly - fy)[..., None]
-        lvl_out = _lookup_level(f1, f2p, x0a, y0, dx, wx, wy, radius, D,
-                                compute_dtype, interpret)
+        if _resident_enabled() and f2p.size * f2p.dtype.itemsize \
+                <= RESIDENT_MAX_BYTES:
+            lvl_out = _lookup_level_resident(
+                f1, f2p, x0.astype(jnp.float32), y0, wx, wy, radius, D,
+                compute_dtype, interpret)
+        else:
+            x0a = (x0 // ALIGN) * ALIGN
+            dx = (x0 - x0a).astype(jnp.float32)[..., None]
+            lvl_out = _lookup_level(f1, f2p, x0a, y0, dx, wx, wy, radius, D,
+                                    compute_dtype, interpret)
         K = 2 * radius + 1
         outs.append(lvl_out.reshape(B, Np, K * K))
     out = jnp.concatenate(outs, axis=-1)

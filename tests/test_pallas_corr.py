@@ -17,6 +17,17 @@ from deflicker_tpu.ops.pallas.corr_kernel import (corr_lookup_pallas,
                                                   pad_fmap_pyramid)
 
 
+@pytest.fixture(params=["resident", "band"], autouse=True)
+def corr_variant(request, monkeypatch):
+    """Every test runs under BOTH kernel bodies: the VMEM-resident
+    small-level path (the default; all test levels fit under
+    RESIDENT_MAX_BYTES) and the per-pixel band-DMA path (the production
+    level-0 body, forced via DEFLICKER_CORR_RESIDENT=0)."""
+    monkeypatch.setenv("DEFLICKER_CORR_RESIDENT",
+                       "1" if request.param == "resident" else "0")
+    return request.param
+
+
 def _setup(B=2, H=12, W=20, D=64, seed=0):
     rng = np.random.default_rng(seed)
     fmap1 = jnp.asarray(rng.normal(size=(B, H, W, D)).astype(np.float32))
