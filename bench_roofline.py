@@ -349,6 +349,11 @@ def corr_ab(reps=3, iters=20):
     try:
         rec["resident_ms"] = round(
             seq_time({"DEFLICKER_CORR_RESIDENT": "1"}), 1)
+        # mixed: level 0 keeps the band DMA, levels 1-3 ride resident
+        # (1 MB gate excludes the ~2 MB padded level 0)
+        rec["resident_small_ms"] = round(
+            seq_time({"DEFLICKER_CORR_RESIDENT": "1",
+                      "DEFLICKER_CORR_RESIDENT_MAX_MB": "1"}), 1)
 
         # numerics: one lookup, both kernel bodies, same inputs
         def once(resident: str):

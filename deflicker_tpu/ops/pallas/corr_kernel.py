@@ -64,21 +64,35 @@ GROUP = 8            # pixels per DMA/compute round
 ALIGN = 16           # x-offset alignment of the fetched band (bf16 sublane)
 PATCH_W = 32         # band width: ALIGN-1 max shift + (K+1) window + slack
 
-# Small pyramid levels skip the per-pixel band DMA entirely: the whole
+# Small pyramid levels can skip the per-pixel band DMA entirely: the whole
 # padded level rides into VMEM once per grid cell (Pallas block revisiting
 # caches it across chunk steps) and the x-selection one-hot spans the full
-# level width.  At the production 45x80 grid this removes 3 of the 4
-# levels' band traffic — the lookup's dominant HBM cost (bench_roofline
-# sol: the (K+1) x PATCH_W band overfetches the true window 3.2x, and the
-# per-pixel band bytes are level-size-INDEPENDENT, so tiny levels pay the
-# same DMA as level 0).  Gate: DEFLICKER_CORR_RESIDENT=0 disables.
+# level width.  The DMA-arithmetic case looked strong (the (K+1) x PATCH_W
+# band overfetches the true window 3.2x, and per-pixel band bytes are
+# level-size-INDEPENDENT, so tiny levels pay the same DMA as level 0) but
+# the chip DISAGREES: at the production 45x80/D=256 grid the resident body
+# is 63% SLOWER end-to-end (BENCH_E2E corr_ab: 165.5 ms vs 101.5 ms per
+# 20-lookup sequence, numerics identical) — the full-width one-hot
+# x-selection matmul costs more VPU/MXU time than the band DMA it saves;
+# the band fetches were already overlapped behind compute.  Measured
+# negative => OPT-IN only: DEFLICKER_CORR_RESIDENT=1 enables, and
+# DEFLICKER_CORR_RESIDENT_MAX_MB tunes the per-level byte gate (default
+# 5 MB) e.g. =1 to keep level 0 on the band path while levels 1-3 ride
+# resident.
 RESIDENT_MAX_BYTES = 5 * 1024 * 1024
 
 
 def _resident_enabled() -> bool:
     import os
 
-    return os.environ.get("DEFLICKER_CORR_RESIDENT", "1") != "0"
+    return os.environ.get("DEFLICKER_CORR_RESIDENT", "0") == "1"
+
+
+def _resident_max_bytes() -> int:
+    import os
+
+    mb = os.environ.get("DEFLICKER_CORR_RESIDENT_MAX_MB")
+    return int(float(mb) * 1024 * 1024) if mb else RESIDENT_MAX_BYTES
 
 
 def corr_pallas_available() -> bool:
@@ -408,7 +422,7 @@ def corr_lookup_pallas(fmap1: jax.Array,
         wx = (lx - fx)[..., None]
         wy = (ly - fy)[..., None]
         if _resident_enabled() and f2p.size * f2p.dtype.itemsize \
-                <= RESIDENT_MAX_BYTES:
+                <= _resident_max_bytes():
             lvl_out = _lookup_level_resident(
                 f1, f2p, x0.astype(jnp.float32), y0, wx, wy, radius, D,
                 compute_dtype, interpret)
