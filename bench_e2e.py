@@ -102,7 +102,7 @@ def bench_raft(H=360, W=640, pairs=4, iters=20, reps=3):
 # Stage-2 device-bound throughput
 # ---------------------------------------------------------------------------
 
-def bench_stage2(H=432, W=768, batch=8, T_refine=16, reps=3):
+def bench_stage2(H=432, W=768, batch=16, T_refine=16, reps=3):
     """Measures BOTH conv dtypes: bfloat16 (the pipeline default,
     PipelineConfig.stage2_dtype) and float32 (reference numerics)."""
     import jax

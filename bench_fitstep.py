@@ -289,6 +289,84 @@ def v2_ab():
         "device": f"{dev.platform}:{dev.device_kind}"}))
 
 
+def pipe_ab(dual: bool = False):
+    """A/B the software-pipelined half-tile kernel bodies (VERDICT r4 #8:
+    overlap one half-tile's inter-layer VPU work with the other half's MXU
+    matmuls — the one direction the stash/v2 negatives didn't test).
+    Gradients match to float tolerance
+    (tests/test_pallas_imlp.py::test_pipe_matches_default); this measures
+    whether Mosaic actually converts the two independent dependency chains
+    into MXU/VPU overlap on the chip.  Probed at the production tile 1792
+    and at 2048 (half-tile temporaries change the VMEM high-water mark)."""
+    import dataclasses as _dc
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deflicker_tpu.atlas.engine import (build_specs, init_models,
+                                            make_loss_fn)
+    from deflicker_tpu.config import AtlasConfig
+
+    cfg = AtlasConfig()
+    try:
+        data = real_video_data(T, H, W)
+    except Exception:
+        data = synthetic_video_data(T, H, W)
+    data = data.with_packed()
+    specs = build_specs(cfg, dual=dual)
+    params0 = init_models(jax.random.key(0), specs)
+    optimizer = optax.adam(cfg.learning_rate)
+    B = cfg.samples_batch
+
+    results = {}
+    base_tile = 1536 if dual else 1792      # select_imlp_apply defaults
+    for mode, env, tile in ((f"default_{base_tile}", "0", base_tile),
+                            (f"pipe_{base_tile}", "1", base_tile),
+                            (f"pipe_{base_tile + 256}", "1",
+                             base_tile + 256)):
+        os.environ["DEFLICKER_IMLP_PIPE"] = env
+        cfg_t = _dc.replace(cfg, pallas_tile=tile)
+        loss_fn = make_loss_fn(specs, cfg_t, data, include_global=True,
+                               include_bootstrap=dual)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def step(carry, _, data):
+            params, opt_state, key = carry
+            key, kj, ki, kf = jax.random.split(key, 4)
+            j = jax.random.randint(kj, (B,), 0, W)
+            i = jax.random.randint(ki, (B,), 0, H)
+            f = jax.random.randint(kf, (B,), 0, T)
+            (_, aux), grads = grad_fn(params, data, j, i, f)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), aux["total"]
+
+        run = jax.jit(lambda c, d: jax.lax.scan(
+            lambda cc, x: step(cc, x, d), c, None, length=N_STEPS))
+        carry = (params0, optimizer.init(params0), jax.random.key(1))
+        try:
+            carry, out = run(carry, data)
+            float(jnp.sum(out))                     # compile + warm
+            t0 = time.perf_counter()
+            carry, out = run(carry, data)
+            float(jnp.sum(out))                     # readback barrier
+            dt = time.perf_counter() - t0
+            results[mode] = round(N_STEPS / dt, 1)
+        except Exception as e:                      # e.g. scoped-VMEM OOM
+            results[mode] = f"failed: {str(e)[:160]}"
+        print(f"  {mode}: {results[mode]}", flush=True)
+    os.environ.pop("DEFLICKER_IMLP_PIPE", None)
+
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "metric": "fit_step_pipe_ab_its_per_sec", "per_mode": results,
+        "config": f"{T}x{H}x{W}, batch {B}, "
+                  f"{'dual' if dual else 'single'}-atlas, bf16",
+        "device": f"{dev.platform}:{dev.device_kind}"}))
+
+
 V5E_BF16_PEAK = 197e12        # TPU v5e MXU peak, bf16 multiplies (FLOP/s)
 
 
@@ -354,6 +432,8 @@ if __name__ == "__main__":
         stash_ab()
     elif "v2_ab" in sys.argv[1:]:
         v2_ab()
+    elif "pipe_ab" in sys.argv[1:]:
+        pipe_ab(dual="dual" in sys.argv[1:])
     elif "sol" in sys.argv[1:]:
         its = [float(a) for a in sys.argv[1:] if a.replace(".", "").isdigit()]
         sol(measured_its=its[0] if its else 323.3,

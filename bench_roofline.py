@@ -131,23 +131,27 @@ def _component_flops() -> dict:
     return json.loads(line[-1][6:])
 
 
-def _corr_kernel_model(n_pix: int, D: int = 256) -> dict:
+def _corr_kernel_model(n_pix: int, D: int = 256,
+                       quad: bool = False) -> dict:
     """Analytic per-lookup cost of the Pallas corr kernel
     (ops/pallas/corr_kernel.py): per pixel per level, one contiguous
-    (K+1, PATCH_W, D) bf16 band DMA + a (K, PATCH_W, D)x(D,) contraction +
-    a (K, PATCH_W)x(PATCH_W, K) selection matmul."""
-    from deflicker_tpu.ops.pallas.corr_kernel import PATCH_W
+    (K+1, patch_w, D) bf16 band DMA + a (K, patch_w, D)x(D,) contraction +
+    a (K, patch_w)x(patch_w, K) selection matmul.  quad=True models the
+    quad-phase layout (PATCH_W_QUAD=16 band — half the DMA and half the
+    selection FLOPs)."""
+    from deflicker_tpu.ops.pallas.corr_kernel import PATCH_W, PATCH_W_QUAD
 
-    band_bytes = (K + 1) * PATCH_W * D * 2                  # bf16
+    patch_w = PATCH_W_QUAD if quad else PATCH_W
+    band_bytes = (K + 1) * patch_w * D * 2                  # bf16
     dma_bytes = n_pix * LEVELS * band_bytes
     dma_bytes += n_pix * D * 4                              # f1 read (f32)
     dma_bytes += n_pix * LEVELS * K * K * 4                 # out write (f32)
-    flops = n_pix * LEVELS * (2 * K * PATCH_W * D           # Z = Y . f1
-                              + 2 * K * PATCH_W * K)        # out = Z . X
+    flops = n_pix * LEVELS * (2 * K * patch_w * D           # Z = Y . f1
+                              + 2 * K * patch_w * K)        # out = Z . X
     return {"dma_bytes": dma_bytes, "flops": flops,
             "band_bytes_per_px_level": band_bytes,
             "window_bytes_per_px_level": (K + 1) * (K + 1) * D * 2,
-            "patch_w": PATCH_W}
+            "patch_w": patch_w}
 
 
 def sol():
@@ -188,6 +192,13 @@ def sol():
     # GRU), so phases ADD: the additive floor is the honest ceiling
     floor_s = (conv_flops / V5E_BF16_PEAK + corr_dma / V5E_HBM_BW)
     raft["sol_fields_per_sec"] = round(1.0 / floor_s, 2)
+    # the quad-phase band layout (DEFLICKER_CORR_QUAD) halves band DMA
+    corr_q = _corr_kernel_model(n_pix, quad=True)
+    quad_dma = RAFT_ITERS * corr_q["dma_bytes"]
+    raft["floors_ms"]["corr_dma_quad"] = round(
+        quad_dma / V5E_HBM_BW * 1e3, 2)
+    raft["sol_fields_per_sec_quad"] = round(
+        1.0 / (conv_flops / V5E_BF16_PEAK + quad_dma / V5E_HBM_BW), 2)
     if measured:
         t_field = 1.0 / measured
         raft["measured_fields_per_sec"] = measured
@@ -344,20 +355,32 @@ def corr_ab(reps=3, iters=20):
 
     rec = {"metric": "corr_lookup_variant_ab",
            "shape": f"level0 {H}x{W}, D={D}, {iters}-lookup sequence"}
-    rec["dma_band_ms"] = round(seq_time({"DEFLICKER_CORR_RESIDENT": "0"}), 1)
+    rec["dma_band_ms"] = round(seq_time({"DEFLICKER_CORR_QUAD": "0",
+                                         "DEFLICKER_CORR_RESIDENT": "0"}),
+                               1)
     print(json.dumps(rec), flush=True)
     try:
+        # quad-phase layout (the default): 4 x-shifted copies, PATCH_W 16
+        # -> half the band DMA (the sol-named lever), bit-identical
+        rec["quad_ms"] = round(seq_time({"DEFLICKER_CORR_QUAD": "1"}), 1)
+        print(json.dumps(rec), flush=True)
+    except Exception as e:
+        rec["quad_ms"] = f"failed: {str(e)[:300]}"
+    try:
         rec["resident_ms"] = round(
-            seq_time({"DEFLICKER_CORR_RESIDENT": "1"}), 1)
+            seq_time({"DEFLICKER_CORR_QUAD": "0",
+                      "DEFLICKER_CORR_RESIDENT": "1"}), 1)
         # mixed: level 0 keeps the band DMA, levels 1-3 ride resident
         # (1 MB gate excludes the ~2 MB padded level 0)
         rec["resident_small_ms"] = round(
-            seq_time({"DEFLICKER_CORR_RESIDENT": "1",
+            seq_time({"DEFLICKER_CORR_QUAD": "0",
+                      "DEFLICKER_CORR_RESIDENT": "1",
                       "DEFLICKER_CORR_RESIDENT_MAX_MB": "1"}), 1)
 
-        # numerics: one lookup, both kernel bodies, same inputs
-        def once(resident: str):
-            os.environ["DEFLICKER_CORR_RESIDENT"] = resident
+        # numerics: one lookup, each kernel body, same inputs
+        def once(env: dict):
+            for k, v in env.items():
+                os.environ[k] = v
 
             @jax.jit
             def fn(f1, f2, c0):
@@ -366,12 +389,21 @@ def corr_ab(reps=3, iters=20):
                 return corr_lookup_pallas(f1, pad, c0)
 
             out = np.asarray(fn(f1, f2, coords0))
-            os.environ.pop("DEFLICKER_CORR_RESIDENT", None)
+            for k in env:
+                os.environ.pop(k, None)
             return out
 
-        diff = float(np.max(np.abs(once("1") - once("0"))))
+        base = once({"DEFLICKER_CORR_QUAD": "0",
+                     "DEFLICKER_CORR_RESIDENT": "0"})
+        diff = float(np.max(np.abs(once({"DEFLICKER_CORR_QUAD": "0",
+                                         "DEFLICKER_CORR_RESIDENT": "1"})
+                                   - base)))
         rec["resident_vs_dma_max_abs_diff"] = diff
-        rec["resident_ok"] = diff < 1e-2
+        rec["resident_ok"] = bool(diff < 1e-2)
+        qdiff = float(np.max(np.abs(once({"DEFLICKER_CORR_QUAD": "1"})
+                                    - base)))
+        rec["quad_vs_dma_max_abs_diff"] = qdiff
+        rec["quad_ok"] = bool(qdiff == 0.0)
     except Exception as e:
         rec["resident_ms"] = f"failed: {str(e)[:300]}"
     print(json.dumps(rec), flush=True)

@@ -87,8 +87,12 @@ def select_imlp_apply(use_pallas: bool = False, precision: str = "highest",
         # dual backward, lifting that cap 1024 -> 1280 (atlas/multifit.py).
         # DEFLICKER_IMLP_V2=0 reverts to the round-3 bodies.
         v2 = os.environ.get("DEFLICKER_IMLP_V2", "1") == "1"
+        # DEFLICKER_IMLP_PIPE=1: software-pipelined half-tile kernel
+        # bodies (VERDICT r4 #8 experiment; exclusive with STASH)
+        pipe = os.environ.get("DEFLICKER_IMLP_PIPE") == "1" and not stash
         return partial(imlp_apply_fused, tile=tile,
-                       compute_dtype=jnp.bfloat16, stash_bwd=stash, v2=v2)
+                       compute_dtype=jnp.bfloat16, stash_bwd=stash, v2=v2,
+                       pipe=pipe)
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
     return partial(imlp_apply, precision=prec)

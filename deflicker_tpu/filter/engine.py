@@ -192,8 +192,11 @@ def refine_sequence_multi(variables: Dict, preds: jax.Array,
 
 class FilterEngine:
     def __init__(self, filter_variables: Dict, local_variables: Dict,
-                 dtype=jnp.float32, batch: int = 8, mesh=None,
+                 dtype=jnp.float32, batch: int = 16, mesh=None,
                  span: int = 32, unpad: str = "crop"):
+        # batch 16 is the measured UNet throughput knee at production
+        # 448x768 bf16 (BENCH_E2E stage2_ab filter_fps_by_batch:
+        # 102.0 f/s at 8 -> 123.5 at 16 -> 119.1 at 32)
         self.filter_variables = filter_variables
         self.local_variables = local_variables
         self.dtype = dtype
@@ -566,7 +569,7 @@ def _resolve_ckpt(path: Optional[str | Path]) -> Optional[Path]:
 
 def load_filter_engine(ckpt_filter: Optional[str | Path],
                        ckpt_local: Optional[str | Path],
-                       dtype=jnp.float32, batch: int = 8,
+                       dtype=jnp.float32, batch: int = 16,
                        seed: int = 2023, mesh=None,
                        unpad: str = "crop") -> FilterEngine:
     """Build a FilterEngine from checkpoints.  A missing `.pth` falls back

@@ -89,7 +89,8 @@ def imlp_init(key: jax.Array, spec: IMLPSpec, dtype=jnp.float32):
 def imlp_apply_fused(params, x: jax.Array, spec: IMLPSpec,
                      tile: int = 512, interpret: bool = False,
                      compute_dtype=jnp.float32,
-                     stash_bwd: bool = False, v2: bool = False) -> jax.Array:
+                     stash_bwd: bool = False, v2: bool = False,
+                     pipe: bool = False) -> jax.Array:
     """IMLP forward via the Pallas fused linear-chain kernel
     (ops/pallas/imlp_kernel): positional encoding + stop-gradient skip
     handling here, the whole matmul chain in one VMEM-resident kernel.
@@ -103,7 +104,7 @@ def imlp_apply_fused(params, x: jax.Array, spec: IMLPSpec,
     h = fused_imlp_linear_chain(params, x, spec, tile=tile,
                                 interpret=interpret,
                                 compute_dtype=compute_dtype,
-                                stash_bwd=stash_bwd, v2=v2)
+                                stash_bwd=stash_bwd, v2=v2, pipe=pipe)
     if spec.use_tanh:
         h = jnp.tanh(h)
     if spec.apply_softmax:

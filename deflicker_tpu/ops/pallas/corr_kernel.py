@@ -64,6 +64,26 @@ GROUP = 8            # pixels per DMA/compute round
 ALIGN = 16           # x-offset alignment of the fetched band (bf16 sublane)
 PATCH_W = 32         # band width: ALIGN-1 max shift + (K+1) window + slack
 
+# Quad-phase layout (the DEFAULT; DEFLICKER_CORR_QUAD=0 reverts): the
+# band overfetch above is 3.2x the true (K+1)^2 window (bench_roofline
+# sol names it the RAFT bottleneck — corr DMA is 57.8 of the 60.2
+# ms/field floor).  Storing FOUR x-shifted copies of each padded level
+# stacked along the row axis (copy c starts SHIFT*c columns later) lets
+# the host pick the copy whose residual shift is x0 mod SHIFT <= 3, so a
+# 16-aligned fetch of just PATCH_W_QUAD=16 columns (the bf16 sublane-tile
+# minimum) always covers the K+1=10-column window: per-pixel band bytes
+# HALVE and the x-selection one-hot shrinks 2x, at the cost of 4x level
+# storage in HBM (a few MB) and zero kernel-math changes — outputs are
+# bit-identical to the wide band (BENCH_E2E corr_ab quad_ok, diff 0.0).
+# Pixels never straddle copies because the row offset c*Hq is a
+# whole-level jump.  Measured: 90.7 vs 100.7 ms per 20-lookup level-0
+# sequence (+10%, not the 2x the byte cut suggests — the lookup is
+# partly bound by DMA ISSUE RATE: 4 descriptors per pixel regardless of
+# band width).
+SHIFT = 4            # phase granularity of the shifted copies
+N_PHASES = ALIGN // SHIFT
+PATCH_W_QUAD = 16    # SHIFT-1 max shift + (K+1) window, at the tile floor
+
 # Small pyramid levels can skip the per-pixel band DMA entirely: the whole
 # padded level rides into VMEM once per grid cell (Pallas block revisiting
 # caches it across chunk steps) and the x-selection one-hot spans the full
@@ -75,10 +95,12 @@ PATCH_W = 32         # band width: ALIGN-1 max shift + (K+1) window + slack
 # 20-lookup sequence, numerics identical) — the full-width one-hot
 # x-selection matmul costs more VPU/MXU time than the band DMA it saves;
 # the band fetches were already overlapped behind compute.  Measured
-# negative => OPT-IN only: DEFLICKER_CORR_RESIDENT=1 enables, and
-# DEFLICKER_CORR_RESIDENT_MAX_MB tunes the per-level byte gate (default
-# 5 MB) e.g. =1 to keep level 0 on the band path while levels 1-3 ride
-# resident.
+# negative => OPT-IN only: DEFLICKER_CORR_RESIDENT=1 enables (classic
+# layout only — also set DEFLICKER_CORR_QUAD=0, the quad default
+# bypasses the resident path), and DEFLICKER_CORR_RESIDENT_MAX_MB tunes
+# the per-level byte gate (default 5 MB) e.g. =1 to keep level 0 on the
+# band path while levels 1-3 ride resident (also measured slower:
+# 108.2 vs 100.7 ms).
 RESIDENT_MAX_BYTES = 5 * 1024 * 1024
 
 
@@ -103,7 +125,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _level_kernel(radius: int, true_d: int, compute_dtype,
+def _level_kernel(radius: int, true_d: int, compute_dtype, patch_w,
                   x0a_ref, y0_ref, dx_ref, wx_ref, wy_ref, f1_ref, f2_ref,
                   out_ref, slab, sems, x0a_s, y0_s, idx_sems):
     """One correlation-pyramid level for one (batch, chunk) grid cell.
@@ -142,7 +164,7 @@ def _level_kernel(radius: int, true_d: int, compute_dtype,
         x0a = pl.multiple_of(x0a_s[0, i, 0], ALIGN)
         return pltpu.make_async_copy(
             f2_ref.at[b, pl.ds(y0_s[0, i, 0], P1),
-                      pl.ds(x0a, PATCH_W), :],
+                      pl.ds(x0a, patch_w), :],
             slab.at[slot, j],
             sems.at[slot, j],
         )
@@ -187,8 +209,8 @@ def _level_kernel(radius: int, true_d: int, compute_dtype,
         wx = wx_ref[0, pl.ds(i0, GROUP), :][:, :, None].astype(jnp.float32)
         # int32 2D iotas broadcast against (G, 1, 1) — Mosaic supports
         # neither f32 nor 3D iota on this target
-        k_i = jax.lax.broadcasted_iota(jnp.int32, (PATCH_W, K), 0)[None]
-        p_i = jax.lax.broadcasted_iota(jnp.int32, (PATCH_W, K), 1)[None]
+        k_i = jax.lax.broadcasted_iota(jnp.int32, (patch_w, K), 0)[None]
+        p_i = jax.lax.broadcasted_iota(jnp.int32, (patch_w, K), 1)[None]
         m0 = (k_i == dxi + p_i).astype(jnp.float32)
         m1 = (k_i == dxi + p_i + 1).astype(jnp.float32)
         xm = (1.0 - wx) * m0 + wx * m1             # (G, PATCH_W, K)
@@ -309,7 +331,8 @@ def _lookup_level_resident(fmap1_flat: jax.Array, f2_padded: jax.Array,
 def _lookup_level(fmap1_flat: jax.Array, f2_padded: jax.Array,
                   x0a: jax.Array, y0: jax.Array, dx: jax.Array,
                   wx: jax.Array, wy: jax.Array, radius: int, true_d: int,
-                  compute_dtype, interpret: bool) -> jax.Array:
+                  compute_dtype, interpret: bool,
+                  patch_w: int = PATCH_W) -> jax.Array:
     """fmap1_flat (B, Np, D); f2_padded (B, Hp, Wp, D); x0a/y0 (B, Np) int32;
     dx/wx/wy (B, Np, 1) f32.  Np divisible by CHUNK, D lane-padded to 128.
     Returns (B, Np, K, K) f32 (x-offset outer)."""
@@ -318,7 +341,8 @@ def _lookup_level(fmap1_flat: jax.Array, f2_padded: jax.Array,
     n_chunks = Np // CHUNK
     grid = (B, n_chunks)
 
-    kern = functools.partial(_level_kernel, radius, true_d, compute_dtype)
+    kern = functools.partial(_level_kernel, radius, true_d, compute_dtype,
+                             patch_w)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -344,7 +368,7 @@ def _lookup_level(fmap1_flat: jax.Array, f2_padded: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Np, K, K), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, K + 1, PATCH_W, D), f2_padded.dtype),
+            pltpu.VMEM((2, GROUP, K + 1, patch_w, D), f2_padded.dtype),
             pltpu.SemaphoreType.DMA((2, GROUP)),
             pltpu.SMEM((1, CHUNK, 1), jnp.int32),
             pltpu.SMEM((1, CHUNK, 1), jnp.int32),
@@ -354,22 +378,49 @@ def _lookup_level(fmap1_flat: jax.Array, f2_padded: jax.Array,
     )(x0a[..., None], y0[..., None], dx, wx, wy, fmap1_flat, f2_padded)
 
 
+def _quad_enabled() -> bool:
+    import os
+
+    return os.environ.get("DEFLICKER_CORR_QUAD", "1") != "0"
+
+
 def pad_fmap_pyramid(fmap2_pyramid: Sequence[jax.Array], radius: int = 4,
-                     dtype=None) -> Sequence[jax.Array]:
+                     dtype=None, quad: "bool | None" = None
+                     ) -> Sequence[jax.Array]:
     """Zero-pad every level for the kernel (done once per flow solve,
     outside the GRU scan): P = 2r+3 on top/bottom/left; the right edge gets
     extra slack so an ALIGN-aligned PATCH_W-wide band never reads past the
     buffer; the lane dim is 128-aligned (Mosaic memref requirement — zero
-    feature channels contribute nothing to the correlation dot)."""
+    feature channels contribute nothing to the correlation dot).
+
+    quad=True (default: DEFLICKER_CORR_QUAD env) emits the quad-phase
+    layout instead: N_PHASES x-shifted copies of the padded level stacked
+    along rows — copy c holds base columns [SHIFT*c, SHIFT*c + Wc).
+    `corr_lookup_pallas` detects the layout from the row count."""
+    if quad is None:
+        quad = _quad_enabled()
     P = 2 * radius + 3
     out = []
     for lvl in fmap2_pyramid:
         B, H, W, D = lvl.shape
         dpad = _round_up(D, 128) - D
-        # rightmost band start = align_down(W - 1 + r + 2 - r + P) <= W + P + 2
-        wp = _round_up(W + P + 2 + PATCH_W, ALIGN)
-        right = wp - (W + P)
-        p = jnp.pad(lvl, ((0, 0), (P, P), (P, right), (0, dpad)))
+        if quad:
+            # left pad grows by the maximum copy shift so x0 - SHIFT*c
+            # never goes negative; copy width fits the rightmost aligned
+            # PATCH_W_QUAD fetch (x0 <= W + 1 + PL)
+            PL = P + (N_PHASES - 1) * SHIFT
+            Wc = _round_up(W + 1 + PL + PATCH_W_QUAD, ALIGN)
+            base = jnp.pad(lvl, ((0, 0), (P, P),
+                                 (PL, Wc + (N_PHASES - 1) * SHIFT - PL - W),
+                                 (0, dpad)))
+            p = jnp.concatenate(
+                [base[:, :, SHIFT * c:SHIFT * c + Wc] for c in
+                 range(N_PHASES)], axis=1)
+        else:
+            # rightmost band start = align_down(W-1+r+2-r+P) <= W + P + 2
+            wp = _round_up(W + P + 2 + PATCH_W, ALIGN)
+            right = wp - (W + P)
+            p = jnp.pad(lvl, ((0, 0), (P, P), (P, right), (0, dpad)))
         out.append(p.astype(dtype) if dtype is not None else p)
     return out
 
@@ -409,28 +460,45 @@ def corr_lookup_pallas(fmap1: jax.Array,
     for lvl, f2p in enumerate(fmap2_pyramid_padded):
         if lvl > 0:
             Hl, Wl = Hl // 2, Wl // 2
-        assert f2p.shape[1] == Hl + 2 * P, (f2p.shape, Hl)
+        Hq = Hl + 2 * P
+        quad = f2p.shape[1] == N_PHASES * Hq
+        assert quad or f2p.shape[1] == Hq, (f2p.shape, Hl)
         lx = cx / (2.0 ** lvl)
         ly = cy / (2.0 ** lvl)
         lx = jnp.clip(lx, -(radius + 2.0), Wl - 1.0 + radius + 2.0)
         ly = jnp.clip(ly, -(radius + 2.0), Hl - 1.0 + radius + 2.0)
         fx = jnp.floor(lx)
         fy = jnp.floor(ly)
-        # top-left corner of the (K+1, K+1) window in PADDED level coords
-        x0 = (fx - radius).astype(jnp.int32) + P
-        y0 = (fy - radius).astype(jnp.int32) + P
         wx = (lx - fx)[..., None]
         wy = (ly - fy)[..., None]
-        if _resident_enabled() and f2p.size * f2p.dtype.itemsize \
-                <= _resident_max_bytes():
-            lvl_out = _lookup_level_resident(
-                f1, f2p, x0.astype(jnp.float32), y0, wx, wy, radius, D,
-                compute_dtype, interpret)
+        if quad:
+            # quad-phase: pick the x-shifted copy whose residual shift is
+            # x0 mod SHIFT, so an ALIGN-aligned PATCH_W_QUAD fetch covers
+            # the window; the copy index becomes a whole-level row jump
+            PL = P + (N_PHASES - 1) * SHIFT
+            x0 = (fx - radius).astype(jnp.int32) + PL
+            y0 = (fy - radius).astype(jnp.int32) + P
+            r = x0 % ALIGN
+            c = r // SHIFT
+            x0a = x0 - r                     # ALIGN-aligned in every copy
+            dx = (r % SHIFT).astype(jnp.float32)[..., None]
+            lvl_out = _lookup_level(f1, f2p, x0a, y0 + c * Hq, dx, wx, wy,
+                                    radius, D, compute_dtype, interpret,
+                                    patch_w=PATCH_W_QUAD)
         else:
-            x0a = (x0 // ALIGN) * ALIGN
-            dx = (x0 - x0a).astype(jnp.float32)[..., None]
-            lvl_out = _lookup_level(f1, f2p, x0a, y0, dx, wx, wy, radius, D,
-                                    compute_dtype, interpret)
+            # top-left corner of the (K+1, K+1) window in PADDED coords
+            x0 = (fx - radius).astype(jnp.int32) + P
+            y0 = (fy - radius).astype(jnp.int32) + P
+            if _resident_enabled() and f2p.size * f2p.dtype.itemsize \
+                    <= _resident_max_bytes():
+                lvl_out = _lookup_level_resident(
+                    f1, f2p, x0.astype(jnp.float32), y0, wx, wy, radius, D,
+                    compute_dtype, interpret)
+            else:
+                x0a = (x0 // ALIGN) * ALIGN
+                dx = (x0 - x0a).astype(jnp.float32)[..., None]
+                lvl_out = _lookup_level(f1, f2p, x0a, y0, dx, wx, wy,
+                                        radius, D, compute_dtype, interpret)
         K = 2 * radius + 1
         outs.append(lvl_out.reshape(B, Np, K * K))
     out = jnp.concatenate(outs, axis=-1)

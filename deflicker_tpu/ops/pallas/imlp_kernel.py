@@ -234,6 +234,103 @@ def _reverse_pass(spec: IMLPSpec, n_layers: int, cdt, v2, w_refs, outs,
     return dx
 
 
+def _fwd_kernel_pipe(spec: IMLPSpec, n_layers: int, cdt, v2, *refs):
+    """Software-pipelined forward (VERDICT r4 #8 experiment,
+    DEFLICKER_IMLP_PIPE=1): the batch tile is split into two half-tiles
+    whose layer chains are INTERLEAVED in program order — half B's VPU
+    work (relu) sits between half A's matmul and half B's matmul, giving
+    Mosaic's scheduler two independent dependency chains so one half's
+    VPU ops can overlap the other half's MXU issue.  Numerics: identical
+    chain per half; tile padding guarantees an even split."""
+    x_ref = refs[0]
+    out_ref = refs[1 + 2 * n_layers]
+    x = x_ref[...]
+    half = x.shape[0] // 2
+    xa, xb = x[:half], x[half:]
+    ha, hb = xa, xb
+    for i in range(n_layers):
+        W = refs[1 + 2 * i][...]
+        b = refs[2 + 2 * i][...]
+        if i > 0:
+            ha = jnp.maximum(ha, 0.0)
+        za = _layer_fwd(spec, i, ha, xa, W, b, cdt, v2)
+        if i > 0:
+            hb = jnp.maximum(hb, 0.0)
+        zb = _layer_fwd(spec, i, hb, xb, W, b, cdt, v2)
+        ha, hb = za, zb
+    out_ref[:half, :] = ha
+    out_ref[half:, :] = hb
+
+
+def _bwd_kernel_pipe(spec: IMLPSpec, n_layers: int, cdt, v2, *refs):
+    """Pipelined remat backward: recompute + reverse both walk the two
+    half-tiles interleaved.  dW/db for a layer are the SUM of the two
+    halves' half-sized contractions (two extra f32 adds per layer vs the
+    full-tile body; float-equal up to partial-sum regrouping)."""
+    n_in = 2 + 2 * n_layers
+    x_ref = refs[0]
+    g_ref = refs[n_in - 1]
+    outs = refs[n_in:n_in + 1 + 2 * n_layers]
+
+    x = x_ref[...]
+    half = x.shape[0] // 2
+    xa, xb = x[:half], x[half:]
+    xca, xcb = xa.astype(cdt), xb.astype(cdt)
+    ha, hb = xa, xb
+    stash_a = [None] * n_layers
+    stash_b = [None] * n_layers
+    for i in range(n_layers):
+        W = refs[1 + 2 * i][...]
+        b = refs[2 + 2 * i][...]
+        if i > 0:
+            ha = jnp.maximum(ha, 0.0)
+            stash_a[i] = ha.astype(cdt)
+        za = _layer_fwd(spec, i, ha, xa, W, b, cdt, v2)
+        if i > 0:
+            hb = jnp.maximum(hb, 0.0)
+            stash_b[i] = hb.astype(cdt)
+        zb = _layer_fwd(spec, i, hb, xb, W, b, cdt, v2)
+        ha, hb = za, zb
+
+    g = g_ref[...]
+    ga, gb = g[:half], g[half:]
+    is_first = pl.program_id(0) == 0
+    for i in reversed(range(n_layers)):
+        W = refs[1 + 2 * i][...]
+        db = jnp.sum(ga, axis=0, keepdims=True) \
+            + jnp.sum(gb, axis=0, keepdims=True)
+        a_ha = xca if i == 0 else stash_a[i]
+        a_hb = xcb if i == 0 else stash_b[i]
+        if i in spec.skip_layers:
+            dW = jnp.concatenate(
+                [_dot_tl(a_ha, ga, cdt) + _dot_tl(a_hb, gb, cdt),
+                 _dot_tl(xca, ga, cdt) + _dot_tl(xcb, gb, cdt)], axis=0)
+            Wk = W[:a_ha.shape[1]]
+        else:
+            dW = _dot_tl(a_ha, ga, cdt) + _dot_tl(a_hb, gb, cdt)
+            Wk = W
+        ga = _dot_tr(ga, Wk, cdt)
+        gb = _dot_tr(gb, Wk, cdt)
+        if i > 0:
+            ga = ga * (stash_a[i].astype(jnp.float32) > 0.0)
+            gb = gb * (stash_b[i].astype(jnp.float32) > 0.0)
+
+        aW, ab = outs[1 + 2 * i], outs[2 + 2 * i]
+
+        @pl.when(is_first)
+        def _():
+            aW[...] = dW
+            ab[...] = db
+
+        @pl.when(jnp.logical_not(is_first))
+        def _():
+            aW[...] += dW
+            ab[...] += db
+
+    outs[0][:half, :] = ga
+    outs[0][half:, :] = gb
+
+
 def _fwd_kernel_stash(spec: IMLPSpec, n_layers: int, cdt, v2, *refs):
     """Forward that additionally WRITES the backward's activation stash to
     HBM: refs = [x, (W, b)*n, out, s1..s_{n-1}].  The chain itself is
@@ -284,12 +381,12 @@ def _pack(params) -> Sequence[jax.Array]:
     return flat
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _chain(packed: Tuple[jax.Array, ...], xe: jax.Array, spec: IMLPSpec,
            tile: int, interpret: bool, compute_dtype=jnp.float32,
-           v2: bool = False) -> jax.Array:
+           v2: bool = False, pipe: bool = False) -> jax.Array:
     return _chain_fwd(packed, xe, spec, tile, interpret, compute_dtype,
-                      v2)[0]
+                      v2, pipe)[0]
 
 
 def _cast_weights(packed, cdt):
@@ -322,7 +419,7 @@ def _stash_dims(packed) -> Sequence[int]:
 
 
 def _call_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32,
-              v2=False):
+              v2=False, pipe=False):
     n_layers = len(packed) // 2
     B, E = xe.shape
     O = packed[-2].shape[1]
@@ -333,7 +430,8 @@ def _call_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32,
     in_specs += _weight_specs(packed, n_layers)
     out_spec = pl.BlockSpec((tile, O), lambda t: (t, 0),
                             memory_space=pltpu.VMEM)
-    kern = functools.partial(_fwd_kernel, spec, n_layers, compute_dtype, v2)
+    body = _fwd_kernel_pipe if pipe else _fwd_kernel
+    kern = functools.partial(body, spec, n_layers, compute_dtype, v2)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -345,8 +443,9 @@ def _call_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32,
 
 
 def _chain_fwd(packed, xe, spec, tile, interpret, compute_dtype=jnp.float32,
-               v2=False):
-    y = _call_fwd(packed, xe, spec, tile, interpret, compute_dtype, v2)
+               v2=False, pipe=False):
+    y = _call_fwd(packed, xe, spec, tile, interpret, compute_dtype, v2,
+                  pipe)
     return y, (packed, xe)
 
 
@@ -368,7 +467,7 @@ def _grad_out_specs(packed, n_layers, tile, B, E):
     return out_shapes, out_specs
 
 
-def _chain_bwd(spec, tile, interpret, compute_dtype, v2, res, g):
+def _chain_bwd(spec, tile, interpret, compute_dtype, v2, pipe, res, g):
     packed, xe = res
     n_layers = len(packed) // 2
     B, E = xe.shape
@@ -384,7 +483,8 @@ def _chain_bwd(spec, tile, interpret, compute_dtype, v2, res, g):
 
     out_shapes, out_specs = _grad_out_specs(packed, n_layers, tile, B, E)
 
-    kern = functools.partial(_bwd_kernel, spec, n_layers, compute_dtype, v2)
+    body = _bwd_kernel_pipe if pipe else _bwd_kernel
+    kern = functools.partial(body, spec, n_layers, compute_dtype, v2)
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -485,7 +585,8 @@ def fused_imlp_linear_chain(params, xe: jax.Array, spec: IMLPSpec,
                             tile: int = 512, interpret: bool = False,
                             compute_dtype=jnp.float32,
                             stash_bwd: bool = False,
-                            v2: bool = False) -> jax.Array:
+                            v2: bool = False,
+                            pipe: bool = False) -> jax.Array:
     """Fused linear-relu(-skip) chain on PRE-ENCODED input xe (B, E).
 
     Returns the pre-tanh output (B, output_dim).  Pads the batch to a tile
@@ -501,12 +602,21 @@ def fused_imlp_linear_chain(params, xe: jax.Array, spec: IMLPSpec,
     on the 8-layer atlas MLP (1536 needs 25.67 MB of the 16 MB scoped
     budget), where it loses to remat at 1536 (314.8 vs 318.6 it/s) —
     remat is the right default on this hardware.
+
+    pipe=True (DEFLICKER_IMLP_PIPE=1, exclusive with stash_bwd): the
+    software-pipelined half-tile bodies — two interleaved dependency
+    chains per tile so Mosaic can overlap one half's VPU work with the
+    other half's MXU matmuls (VERDICT r4 #8 experiment).  The pipe
+    backward always uses the v2 reverse ops.
     """
     B = xe.shape[0]
     Bp = _round_up(max(B, tile), tile)
     if Bp != B:
         xe = jnp.pad(xe, ((0, Bp - B), (0, 0)))
-    fn = _chain_stash if stash_bwd else _chain
-    y = fn(tuple(_pack(params)), xe, spec, tile, interpret, compute_dtype,
-           v2)
+    if stash_bwd:
+        y = _chain_stash(tuple(_pack(params)), xe, spec, tile, interpret,
+                         compute_dtype, v2)
+    else:
+        y = _chain(tuple(_pack(params)), xe, spec, tile, interpret,
+                   compute_dtype, v2, pipe)
     return y[:B]

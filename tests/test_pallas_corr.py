@@ -19,10 +19,13 @@ from deflicker_tpu.ops.pallas.corr_kernel import (corr_lookup_pallas,
 
 @pytest.fixture(params=["resident", "band"], autouse=True)
 def corr_variant(request, monkeypatch):
-    """Every test runs under BOTH kernel bodies: the VMEM-resident
-    small-level path (the default; all test levels fit under
-    RESIDENT_MAX_BYTES) and the per-pixel band-DMA path (the production
-    level-0 body, forced via DEFLICKER_CORR_RESIDENT=0)."""
+    """Every test runs under BOTH classic kernel bodies: the VMEM-resident
+    small-level path (opt-in; all test levels fit under
+    RESIDENT_MAX_BYTES) and the per-pixel band-DMA path (forced via
+    DEFLICKER_CORR_RESIDENT=0).  The quad-phase DEFAULT layout is pinned
+    off here so both classic bodies stay covered; the quad test passes
+    quad=True explicitly."""
+    monkeypatch.setenv("DEFLICKER_CORR_QUAD", "0")
     monkeypatch.setenv("DEFLICKER_CORR_RESIDENT",
                        "1" if request.param == "resident" else "0")
     return request.param
@@ -75,6 +78,30 @@ def test_matches_online_bf16_storage():
                              compute_dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("spread", [3.0, 40.0])
+def test_quad_layout_matches(spread, corr_variant):
+    """The quad-phase layout (4 x-shifted copies stacked along rows,
+    PATCH_W 16) must be BIT-IDENTICAL to the wide-band layout — same
+    window contents, same weights, only the DMA footprint changes — and
+    match the materialized oracle including out-of-bounds windows."""
+    if corr_variant == "resident":
+        pytest.skip("quad layout always takes the band path")
+    fmap1, fmap2 = _setup(seed=6)
+    B, H, W, _ = fmap1.shape
+    coords = _coords(B, H, W, spread, seed=7)
+
+    pyr = build_fmap_pyramid(fmap2)
+    band = corr_lookup_pallas(fmap1, pad_fmap_pyramid(pyr), coords,
+                              interpret=True)
+    quad = corr_lookup_pallas(fmap1, pad_fmap_pyramid(pyr, quad=True),
+                              coords, interpret=True)
+    np.testing.assert_array_equal(np.asarray(quad), np.asarray(band))
+
+    ref = corr_lookup(build_corr_pyramid(fmap1, fmap2), coords)
+    np.testing.assert_allclose(np.asarray(quad), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_nonaligned_pixel_count():

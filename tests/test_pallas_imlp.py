@@ -125,6 +125,36 @@ def test_v2_matches_v1(name):
                                    rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("name", list(SPECS))
+def test_pipe_matches_default(name):
+    """The software-pipelined half-tile bodies (pipe=True) must match the
+    default full-tile kernel's forward and gradients to float tolerance —
+    the only numeric change is dW/db partial-sum regrouping across the two
+    halves."""
+    spec = SPECS[name]
+    params = imlp_init(jax.random.key(5), spec)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(-1, 1, (256, spec.input_dim)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(-1, 1, (256, spec.output_dim)).astype(np.float32))
+
+    def loss(pipe):
+        def f(p, xx):
+            xe = _encoded(spec, xx)
+            y = jnp.tanh(fused_imlp_linear_chain(p, xe, spec, tile=128,
+                                                 interpret=True, v2=True,
+                                                 pipe=pipe))
+            return jnp.mean((y - tgt) ** 2)
+        return f
+
+    (l_0, g_0) = jax.value_and_grad(loss(False), argnums=(0, 1))(params, x)
+    (l_p, g_p) = jax.value_and_grad(loss(True), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(float(l_p), float(l_0), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
 def test_batch_padding():
     spec = SPECS["mapping"]
     params = imlp_init(jax.random.key(2), spec)
