@@ -54,6 +54,23 @@ def _enable_persistent_compile_cache() -> None:
 _enable_persistent_compile_cache()
 
 
+def _enable_numerics_debug_from_env() -> None:
+    """DEFLICKER_DEBUG_NANS=1: the sanitizer build (SURVEY.md §5) —
+    jax_debug_nans/jax_debug_infs re-run any NaN/Inf-producing jit
+    op-by-op and raise at the producing primitive.  Debug mode only;
+    the always-on production guard is the finite-loss check + rescue
+    checkpoint in atlas/engine.fit_atlas."""
+    import os
+
+    if os.environ.get("DEFLICKER_DEBUG_NANS") == "1":
+        from .utils.debug import enable_numerics_debug
+
+        enable_numerics_debug()
+
+
+_enable_numerics_debug_from_env()
+
+
 def __getattr__(name):
     # lazy: `from deflicker_tpu import Deflickerer` without importing the
     # full pipeline stack at package import

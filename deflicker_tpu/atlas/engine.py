@@ -87,9 +87,14 @@ def select_imlp_apply(use_pallas: bool = False, precision: str = "highest",
         # dual backward, lifting that cap 1024 -> 1280 (atlas/multifit.py).
         # DEFLICKER_IMLP_V2=0 reverts to the round-3 bodies.
         v2 = os.environ.get("DEFLICKER_IMLP_V2", "1") == "1"
-        # DEFLICKER_IMLP_PIPE=1: software-pipelined half-tile kernel
-        # bodies (VERDICT r4 #8 experiment; exclusive with STASH)
-        pipe = os.environ.get("DEFLICKER_IMLP_PIPE") == "1" and not stash
+        # Software-pipelined half-tile kernel bodies: DEFAULT
+        # (DEFLICKER_IMLP_PIPE=0 reverts; exclusive with STASH).  Wins
+        # at every capped tile on v5e — single fit 320.3 -> 328.9 it/s
+        # @1792, dual 142.8 -> 147.6 @1536, vmapped multifit single
+        # 337.6 -> 348.9 video-it/s @1536 and dual 151.2 -> 155.3 @1280
+        # (bench_fitstep.py pipe_ab, bench_multifit.py).
+        pipe = os.environ.get("DEFLICKER_IMLP_PIPE", "1") == "1" \
+            and not stash
         return partial(imlp_apply_fused, tile=tile,
                        compute_dtype=jnp.bfloat16, stash_bwd=stash, v2=v2,
                        pipe=pipe)

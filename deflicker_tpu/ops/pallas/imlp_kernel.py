@@ -235,8 +235,8 @@ def _reverse_pass(spec: IMLPSpec, n_layers: int, cdt, v2, w_refs, outs,
 
 
 def _fwd_kernel_pipe(spec: IMLPSpec, n_layers: int, cdt, v2, *refs):
-    """Software-pipelined forward (VERDICT r4 #8 experiment,
-    DEFLICKER_IMLP_PIPE=1): the batch tile is split into two half-tiles
+    """Software-pipelined forward (the production default;
+    DEFLICKER_IMLP_PIPE=0 reverts): the batch tile is split into two half-tiles
     whose layer chains are INTERLEAVED in program order — half B's VPU
     work (relu) sits between half A's matmul and half B's matmul, giving
     Mosaic's scheduler two independent dependency chains so one half's
@@ -603,10 +603,13 @@ def fused_imlp_linear_chain(params, xe: jax.Array, spec: IMLPSpec,
     budget), where it loses to remat at 1536 (314.8 vs 318.6 it/s) —
     remat is the right default on this hardware.
 
-    pipe=True (DEFLICKER_IMLP_PIPE=1, exclusive with stash_bwd): the
+    pipe=True (the production DEFAULT via engine.select_imlp_apply;
+    DEFLICKER_IMLP_PIPE=0 reverts; exclusive with stash_bwd): the
     software-pipelined half-tile bodies — two interleaved dependency
     chains per tile so Mosaic can overlap one half's VPU work with the
-    other half's MXU matmuls (VERDICT r4 #8 experiment).  The pipe
+    other half's MXU matmuls.  Measured +2.7-3.4% at every capped tile
+    (single 1792, dual 1536, vmapped multifit 1536/1280); tile ceilings
+    are unchanged (the halves don't change weight residency).  The pipe
     backward always uses the v2 reverse ops.
     """
     B = xe.shape[0]
