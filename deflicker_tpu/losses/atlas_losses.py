@@ -127,6 +127,12 @@ def flow_loss(uv: jax.Array, uv_match_fwd: jax.Array, uv_match_bwd: jax.Array,
     consistency check (and the displaced frame exists).  alpha weights each
     sample (per reference use_alpha=True); pass 1.0 for the single-atlas path
     where alpha is hardwired to one.
+
+    Deliberate scope note: the reference's `get_corresponding_flow_matches`
+    carries dormant multi-distance machinery (`mask_level > 0`,
+    loss_utils.py:326-356) that is unreachable in its own pipeline — the
+    flow tensors it loads are single-level, so only level 0 ever executes.
+    This framework implements exactly that reachable level-0 semantics.
     """
     scale = larger_dim / (2.0 * uv_mapping_scale)
     err_fwd = safe_norm(uv_match_fwd - uv) * scale

@@ -23,6 +23,12 @@ the lookup-window offset grid with `meshgrid(dy, dx)` but adds the first
 component to x and the second to y; i.e. the 81 window channels enumerate the
 X offset on the OUTER axis.  Channel k = p*(2r+1)+q samples
 (x + off[p], y + off[q]).
+
+Deliberate scope notes: the reference's RAFT-"small" variant
+(extractor.py:195-267, update.py:16-31) and the `forward_interpolate`
+warm-start (core/utils/utils.py:26-54) are dead in its pipeline
+(raft_wrapper.py pins args.small=False and test mode never warm-starts),
+so this framework implements only the large/test-mode path it actually runs.
 """
 
 from __future__ import annotations
