@@ -367,6 +367,32 @@ def corr_ab(reps=3, iters=20):
     except Exception as e:
         rec["quad_ms"] = f"failed: {str(e)[:300]}"
     try:
+        # group-shared band: ONE descriptor per 8-pixel group when the
+        # windows cluster (the DMA-issue-rate lever quad couldn't touch);
+        # per-pixel quad fallback otherwise, bit-identical either way
+        rec["shared_ms"] = round(
+            seq_time({"DEFLICKER_CORR_SHARED": "1"}), 1)
+        print(json.dumps(rec), flush=True)
+    except Exception as e:
+        rec["shared_ms"] = f"failed: {str(e)[:300]}"
+    try:
+        # reduce-first body on the quad layout: feature contraction
+        # before the y-bilinear (~2.2x less VPU work, same DMA)
+        rec["quad_rf_ms"] = round(
+            seq_time({"DEFLICKER_CORR_QUAD": "1",
+                      "DEFLICKER_CORR_RF": "1"}), 1)
+        print(json.dumps(rec), flush=True)
+    except Exception as e:
+        rec["quad_rf_ms"] = f"failed: {str(e)[:300]}"
+    try:
+        # deeper DMA prefetch on the quad+RF body: the latency lever
+        rec["quad_rf_nbuf4_ms"] = round(
+            seq_time({"DEFLICKER_CORR_QUAD": "1", "DEFLICKER_CORR_RF": "1",
+                      "DEFLICKER_CORR_NBUF": "4"}), 1)
+        print(json.dumps(rec), flush=True)
+    except Exception as e:
+        rec["quad_rf_nbuf4_ms"] = f"failed: {str(e)[:300]}"
+    try:
         rec["resident_ms"] = round(
             seq_time({"DEFLICKER_CORR_QUAD": "0",
                       "DEFLICKER_CORR_RESIDENT": "1"}), 1)
@@ -404,6 +430,18 @@ def corr_ab(reps=3, iters=20):
                                     - base)))
         rec["quad_vs_dma_max_abs_diff"] = qdiff
         rec["quad_ok"] = bool(qdiff == 0.0)
+        # shared fetches the same window bytes but reduces per-pixel
+        # (K, RW, D) vs the band body's batched (G, K, PW, D) — equal up
+        # to f32 reduction order, not bitwise
+        sdiff = float(np.max(np.abs(once({"DEFLICKER_CORR_SHARED": "1"})
+                                    - base)))
+        rec["shared_vs_dma_max_abs_diff"] = sdiff
+        rec["shared_ok"] = bool(sdiff < 1e-4)
+        rdiff = float(np.max(np.abs(once({"DEFLICKER_CORR_QUAD": "1",
+                                          "DEFLICKER_CORR_RF": "1"})
+                                    - base)))
+        rec["rf_vs_dma_max_abs_diff"] = rdiff
+        rec["rf_ok"] = bool(rdiff < 1e-4)
     except Exception as e:
         rec["resident_ms"] = f"failed: {str(e)[:300]}"
     print(json.dumps(rec), flush=True)

@@ -84,6 +84,33 @@ SHIFT = 4            # phase granularity of the shifted copies
 N_PHASES = ALIGN // SHIFT
 PATCH_W_QUAD = 16    # SHIFT-1 max shift + (K+1) window, at the tile floor
 
+# Group-shared band (DEFLICKER_CORR_SHARED=1) — MEASURED NEGATIVE, kept
+# opt-in: quad halving the bytes bought only +10%, which round 5 first
+# read as DMA ISSUE RATE (one descriptor per pixel per level, ~14.4k
+# scalar-core issues per lookup).  This variant tested that hypothesis:
+# the GROUP=8 pixels of a DMA round are raster-consecutive, so their
+# windows cluster whenever the flow is locally smooth (ever tighter at
+# higher pyramid levels where coords shrink by 2^l; 100% of groups on the
+# real benchmark flow at EVERY level).  When a group's window spread fits
+# a fixed envelope (x span <= RW - (K+1) - (SHIFT-1), y span <= R_SH -
+# (K+1)), ONE (R_SH, RW) band from the quad copy of the group minimum
+# covers all 8 windows: 8 descriptors collapse to 1 and per-pixel band
+# bytes drop 2.5x vs quad.  Groups that don't fit (motion boundaries)
+# fall back to the per-pixel quad fetch — host picks per group, the
+# kernel branches with pl.when; window contents and bilinear weights are
+# unchanged either way (outputs match to f32 reduction-order noise).
+# The chip REFUTED the hypothesis: at 100% hit rate, 1/8th the
+# descriptors and 0.4x the bytes measure 94.7 ms vs quad's 87.7 on the
+# 20-lookup level-0 sequence — three body variants tried (interp-first
+# per-pixel 101.7, contract-first per-pixel 94.7, fully-batched 122.5).
+# Descriptor count is NOT the binding term; see DEFLICKER_CORR_RF /
+# DEFLICKER_CORR_NBUF for where the remaining time actually lives.
+# Layout: quad plus extra right slack for the wider band and R_SH+1-P
+# extra bottom rows so a shared fetch at the max clamped y0 stays inside
+# its copy.
+R_SH = 16            # shared band rows: (K+1) window + y-span slack
+RW_SH = 32           # shared band width: window + x-span + phase residual
+
 # Small pyramid levels can skip the per-pixel band DMA entirely: the whole
 # padded level rides into VMEM once per grid cell (Pallas block revisiting
 # caches it across chunk steps) and the x-selection one-hot spans the full
@@ -110,6 +137,38 @@ def _resident_enabled() -> bool:
     return os.environ.get("DEFLICKER_CORR_RESIDENT", "0") == "1"
 
 
+def _shared_enabled() -> bool:
+    import os
+
+    return os.environ.get("DEFLICKER_CORR_SHARED", "0") == "1"
+
+
+def _nbuf() -> int:
+    """DEFLICKER_CORR_NBUF: DMA prefetch depth of `_level_kernel` (default
+    2 = classic double buffering).  The corr_ab ladder (2x bytes -> +12%,
+    2.2x less VPU -> +2.8%, 1/8 descriptors -> -8%) points at DMA LATENCY
+    as the binding term — deeper prefetch (4) hides more of the
+    round-trip at the cost of NBUF x ~655 KB VMEM slab."""
+    import os
+
+    return int(os.environ.get("DEFLICKER_CORR_NBUF", "2"))
+
+
+def _reduce_first_enabled() -> bool:
+    """Reduce-first body of `_level_kernel` (the DEFAULT;
+    DEFLICKER_CORR_RF=0 reverts): run the feature contraction BEFORE the
+    y-bilinear (they commute — both linear in the band), cutting the
+    body's VPU work ~2.2x ((K+1)*PW*D contraction vs K*PW*D*3 interp +
+    K*PW*D reduce).  Results match interp-first to f32 reduction order,
+    not bitwise.  Measured +2.8% on the level-0 sequence (87.7 -> 85.3
+    ms, bench_roofline corr_ab quad_rf_ms) — small because the lookup's
+    remaining time is fixed per-invocation overhead, not VPU (NBUF=4
+    prefetch depth measured a no-op, 85.6)."""
+    import os
+
+    return os.environ.get("DEFLICKER_CORR_RF", "1") != "0"
+
+
 def _resident_max_bytes() -> int:
     import os
 
@@ -126,6 +185,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _level_kernel(radius: int, true_d: int, compute_dtype, patch_w,
+                  reduce_first, nbuf,
                   x0a_ref, y0_ref, dx_ref, wx_ref, wy_ref, f1_ref, f2_ref,
                   out_ref, slab, sems, x0a_s, y0_s, idx_sems):
     """One correlation-pyramid level for one (batch, chunk) grid cell.
@@ -177,30 +237,43 @@ def _level_kernel(radius: int, true_d: int, compute_dtype, patch_w,
         for j in range(GROUP):
             dma(slot, g, j).wait()
 
-    start_group(0, 0)
+    # prefetch depth nbuf: groups [0, nbuf-1) in flight before the loop;
+    # body g tops the pipeline up with group g + nbuf - 1
+    for s in range(nbuf - 1):
+        if s < n_groups:
+            start_group(s, s)
 
     def body(g, _):
-        slot = jax.lax.rem(g, 2)
+        slot = jax.lax.rem(g, nbuf)
 
-        @pl.when(g + 1 < n_groups)
+        @pl.when(g + nbuf - 1 < n_groups)
         def _():
-            start_group(1 - slot, g + 1)
+            start_group(jax.lax.rem(g + nbuf - 1, nbuf), g + nbuf - 1)
 
         wait_group(slot, g)
 
         i0 = g * GROUP
         band = slab[slot].astype(compute_dtype)    # (G, K+1, PATCH_W, D)
         wy = wy_ref[0, pl.ds(i0, GROUP), :]        # (G, 1)
-        wy = wy[:, :, None, None].astype(compute_dtype)
-        # y-bilinear with the shared fraction
-        y = (1.0 - wy) * band[:, :K] + wy * band[:, 1:]  # (G, K, PATCH_W, D)
-
-        # feature contraction: Z[g, q, k] = sum_d Y[g, q, k, d] * f1[g, d]
-        # (VPU multiply + lane reduction — Mosaic rejects the 4D batched
-        # dot_general form)
         f1g = f1_ref[0, pl.ds(i0, GROUP), :].astype(compute_dtype)  # (G, D)
-        z = jnp.sum(y * f1g[:, None, None, :],
-                    axis=-1).astype(jnp.float32)   # (G, K, PATCH_W)
+        if reduce_first:
+            # feature contraction BEFORE the y-bilinear (they commute —
+            # both linear in the band): ~2.2x less VPU work; matches the
+            # interp-first order to f32 rounding
+            z1 = jnp.sum(band * f1g[:, None, None, :],
+                         axis=-1).astype(jnp.float32)  # (G, K+1, PATCH_W)
+            wyv = wy[:, :, None].astype(jnp.float32)
+            z = (1.0 - wyv) * z1[:, :K] + wyv * z1[:, 1:]
+        else:
+            wyv = wy[:, :, None, None].astype(compute_dtype)
+            # y-bilinear with the shared fraction
+            y = (1.0 - wyv) * band[:, :K] + wyv * band[:, 1:]
+
+            # feature contraction: Z[g,q,k] = sum_d Y[g,q,k,d] * f1[g,d]
+            # (VPU multiply + lane reduction — Mosaic rejects the 4D
+            # batched dot_general form)
+            z = jnp.sum(y * f1g[:, None, None, :],
+                        axis=-1).astype(jnp.float32)   # (G, K, PATCH_W)
 
         # x-selection + x-bilinear as one matrix:
         # X[g, k, p] = (1-wx)*[k == dx+p] + wx*[k == dx+p+1]
@@ -228,6 +301,218 @@ def _level_kernel(radius: int, true_d: int, compute_dtype, patch_w,
         return 0
 
     jax.lax.fori_loop(0, n_groups, body, 0)
+
+
+def _shared_kernel(radius: int, true_d: int, compute_dtype,
+                   x0a_ref, y0f_ref, dxf_ref, dxp_ref, wx_ref, wy_ref,
+                   dyp_ref, okg_ref, bsh_ref, gy0_ref, f1_ref, f2_ref,
+                   out_ref, slab_fb, sems_fb, slab_sh, sems_sh, z_buf,
+                   x0a_s, y0f_s, dyp_s, okg_s, bsh_s, gy0_s, idx_sems):
+    """Group-shared-band variant of `_level_kernel` (quad+shared layout).
+
+    Per GROUP of 8 raster-consecutive pixels the host decided (okg) whether
+    one (R_SH, RW_SH) band from the quad copy of the group-min x0 covers
+    all 8 windows.  okg groups ride ONE descriptor into slab_sh and each
+    pixel slices its (K+1)-row strip at dyp (dynamic major-dim slice),
+    contracting against its query feature BEFORE the y-bilinear (linear
+    ops commute; ~2.2x less VPU work than interp-first).  !okg groups
+    take the per-pixel quad fetch (x0a/y0f/dxf), identical to
+    `_level_kernel`.  Window contents and bilinear weights are the same
+    bytes either way — outputs match the quad path to f32
+    reduction-order noise.
+
+    Extra refs vs `_level_kernel`: dxp (1,CHUNK,1) f32 / dyp (1,CHUNK,1)
+    int32 — per-pixel window offsets inside the shared band; okg/bsh/gy0
+    (1,CHUNK//GROUP,1) int32 — per-group flag, aligned band column, band
+    row (copy offset folded in).  Int vectors hop VMEM->SMEM for scalar
+    DMA indexing as in `_level_kernel`."""
+    K = 2 * radius + 1
+    P1 = K + 1
+    b = pl.program_id(0)
+    inv_sqrt_d = 1.0 / (true_d ** 0.5)
+    n_groups = CHUNK // GROUP
+
+    stages = [(x0a_ref, x0a_s), (y0f_ref, y0f_s), (dyp_ref, dyp_s),
+              (okg_ref, okg_s), (bsh_ref, bsh_s), (gy0_ref, gy0_s)]
+    cps = [pltpu.make_async_copy(src, dst, idx_sems.at[i])
+           for i, (src, dst) in enumerate(stages)]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    def dma_fb(slot, g, j):
+        i = g * GROUP + j
+        x0a = pl.multiple_of(x0a_s[0, i, 0], ALIGN)
+        return pltpu.make_async_copy(
+            f2_ref.at[b, pl.ds(y0f_s[0, i, 0], P1),
+                      pl.ds(x0a, PATCH_W_QUAD), :],
+            slab_fb.at[slot, j],
+            sems_fb.at[slot, j],
+        )
+
+    def dma_sh(slot, g):
+        bsh = pl.multiple_of(bsh_s[0, g, 0], ALIGN)
+        return pltpu.make_async_copy(
+            f2_ref.at[b, pl.ds(gy0_s[0, g, 0], R_SH),
+                      pl.ds(bsh, RW_SH), :],
+            slab_sh.at[slot],
+            sems_sh.at[slot],
+        )
+
+    def start_group(slot, g):
+        ok = okg_s[0, g, 0] == 1
+
+        @pl.when(ok)
+        def _():
+            dma_sh(slot, g).start()
+
+        @pl.when(jnp.logical_not(ok))
+        def _():
+            for j in range(GROUP):
+                dma_fb(slot, g, j).start()
+
+    def wait_group(slot, g):
+        ok = okg_s[0, g, 0] == 1
+
+        @pl.when(ok)
+        def _():
+            dma_sh(slot, g).wait()
+
+        @pl.when(jnp.logical_not(ok))
+        def _():
+            for j in range(GROUP):
+                dma_fb(slot, g, j).wait()
+
+    def xsel_contract(z, dx_v, wx_v, patch_w):
+        """x-selection + x-bilinear one-hot matmul (same math as
+        `_level_kernel`): z (G, K, patch_w) f32 -> (G, K[x], K[y])."""
+        dxi = dx_v[:, :, None].astype(jnp.int32)
+        wx = wx_v[:, :, None].astype(jnp.float32)
+        k_i = jax.lax.broadcasted_iota(jnp.int32, (patch_w, K), 0)[None]
+        p_i = jax.lax.broadcasted_iota(jnp.int32, (patch_w, K), 1)[None]
+        m0 = (k_i == dxi + p_i).astype(jnp.float32)
+        m1 = (k_i == dxi + p_i + 1).astype(jnp.float32)
+        xm = (1.0 - wx) * m0 + wx * m1
+        return jax.lax.dot_general(
+            xm, z, (((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    start_group(0, 0)
+
+    def body(g, _):
+        slot = jax.lax.rem(g, 2)
+
+        @pl.when(g + 1 < n_groups)
+        def _():
+            start_group(1 - slot, g + 1)
+
+        wait_group(slot, g)
+
+        i0 = g * GROUP
+        ok = okg_s[0, g, 0] == 1
+        f1g = f1_ref[0, pl.ds(i0, GROUP), :].astype(compute_dtype)  # (G, D)
+        wxg = wx_ref[0, pl.ds(i0, GROUP), :]                        # (G, 1)
+        wyg = wy_ref[0, pl.ds(i0, GROUP), :]
+
+        @pl.when(ok)
+        def _():
+            # Per-pixel (K+1)-row strip out of the shared band at the
+            # SMEM-staged dyp (dynamic major-dim slice), feature
+            # contraction BEFORE the y-bilinear (they commute — both
+            # linear in the band; ~2.2x less VPU work than interp-first).
+            # Three shared bodies were measured on chip: interp-first
+            # per-pixel 101.7 ms, THIS one 95.7 ms, fully-batched 16-row
+            # contraction 122.5 ms (vs quad 87.7) — the contraction
+            # volume, not the descriptor count, is what the lookup pays
+            # for at these shapes.
+            for j in range(GROUP):
+                strip = slab_sh[slot, pl.ds(dyp_s[0, i0 + j, 0], P1)]
+                strip = strip.astype(compute_dtype)      # (K+1, RW_SH, D)
+                z_buf[j] = jnp.sum(strip * f1g[j][None, None, :],
+                                   axis=-1).astype(jnp.float32)
+            wyv = wyg[:, :, None].astype(jnp.float32)    # (G, 1, 1)
+            z10 = z_buf[...]                             # (G, K+1, RW_SH)
+            zy = (1.0 - wyv) * z10[:, :K] + wyv * z10[:, 1:]   # (G, K, RW)
+            dxp = dxp_ref[0, pl.ds(i0, GROUP), :]
+            corr = xsel_contract(zy, dxp, wxg, RW_SH)
+            out_ref[0, pl.ds(i0, GROUP), :, :] = corr * inv_sqrt_d
+
+        @pl.when(jnp.logical_not(ok))
+        def _():
+            # per-pixel quad bands: the `_level_kernel` batched body
+            band = slab_fb[slot].astype(compute_dtype)
+            wy = wyg[:, :, None, None].astype(compute_dtype)
+            y = (1.0 - wy) * band[:, :K] + wy * band[:, 1:]
+            z = jnp.sum(y * f1g[:, None, None, :],
+                        axis=-1).astype(jnp.float32)  # (G, K, PATCH_W_QUAD)
+            dxf = dxf_ref[0, pl.ds(i0, GROUP), :]
+            corr = xsel_contract(z, dxf, wxg, PATCH_W_QUAD)
+            out_ref[0, pl.ds(i0, GROUP), :, :] = corr * inv_sqrt_d
+
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+
+
+def _lookup_level_shared(fmap1_flat: jax.Array, f2_padded: jax.Array,
+                         x0a: jax.Array, y0f: jax.Array, dxf: jax.Array,
+                         dxp: jax.Array, wx: jax.Array, wy: jax.Array,
+                         dyp: jax.Array, okg: jax.Array, bsh: jax.Array,
+                         gy0: jax.Array, radius: int, true_d: int,
+                         compute_dtype, interpret: bool) -> jax.Array:
+    """Shared-band dispatch.  Per-pixel refs as `_lookup_level` plus the
+    shared-band offsets (dxp f32, dyp int32) and per-group arrays
+    (okg/bsh/gy0 int32, CHUNK//GROUP entries per chunk)."""
+    B, Np, D = fmap1_flat.shape
+    K = 2 * radius + 1
+    n_chunks = Np // CHUNK
+    ng = CHUNK // GROUP
+
+    kern = functools.partial(_shared_kernel, radius, true_d, compute_dtype)
+    pix = pl.BlockSpec((1, CHUNK, 1), lambda b, c: (b, c, 0),
+                       memory_space=pltpu.VMEM)
+    grp = pl.BlockSpec((1, ng, 1), lambda b, c: (b, c, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B, n_chunks),
+        in_specs=[
+            pix,                                         # x0a
+            pix,                                         # y0f
+            pix,                                         # dxf
+            pix,                                         # dxp
+            pix,                                         # wx
+            pix,                                         # wy
+            pix,                                         # dyp
+            grp,                                         # okg
+            grp,                                         # bsh
+            grp,                                         # gy0
+            pl.BlockSpec((1, CHUNK, D), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),       # fmap1
+            pl.BlockSpec(memory_space=pltpu.HBM),        # padded level
+        ],
+        out_specs=pl.BlockSpec((1, CHUNK, K, K), lambda b, c: (b, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, K, K), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, GROUP, K + 1, PATCH_W_QUAD, D), f2_padded.dtype),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
+            pltpu.VMEM((2, R_SH, RW_SH, D), f2_padded.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((GROUP, K + 1, RW_SH), jnp.float32),
+            pltpu.SMEM((1, CHUNK, 1), jnp.int32),
+            pltpu.SMEM((1, CHUNK, 1), jnp.int32),
+            pltpu.SMEM((1, CHUNK, 1), jnp.int32),
+            pltpu.SMEM((1, ng, 1), jnp.int32),
+            pltpu.SMEM((1, ng, 1), jnp.int32),
+            pltpu.SMEM((1, ng, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        interpret=interpret,
+    )(x0a[..., None], y0f[..., None], dxf, dxp, wx, wy, dyp[..., None],
+      okg[..., None], bsh[..., None], gy0[..., None], fmap1_flat, f2_padded)
 
 
 def _resident_kernel(radius: int, true_d: int, compute_dtype,
@@ -341,8 +626,9 @@ def _lookup_level(fmap1_flat: jax.Array, f2_padded: jax.Array,
     n_chunks = Np // CHUNK
     grid = (B, n_chunks)
 
+    nbuf = _nbuf()
     kern = functools.partial(_level_kernel, radius, true_d, compute_dtype,
-                             patch_w)
+                             patch_w, _reduce_first_enabled(), nbuf)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -368,8 +654,8 @@ def _lookup_level(fmap1_flat: jax.Array, f2_padded: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Np, K, K), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, K + 1, patch_w, D), f2_padded.dtype),
-            pltpu.SemaphoreType.DMA((2, GROUP)),
+            pltpu.VMEM((nbuf, GROUP, K + 1, patch_w, D), f2_padded.dtype),
+            pltpu.SemaphoreType.DMA((nbuf, GROUP)),
             pltpu.SMEM((1, CHUNK, 1), jnp.int32),
             pltpu.SMEM((1, CHUNK, 1), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -384,9 +670,17 @@ def _quad_enabled() -> bool:
     return os.environ.get("DEFLICKER_CORR_QUAD", "1") != "0"
 
 
+def _shared_extra_rows(radius: int) -> int:
+    """Extra bottom rows the shared layout needs: a shared fetch reads
+    R_SH rows from gy0 <= H + P + 1 (the max clamped window top), so the
+    copy height must cover H + P + 1 + R_SH <= H + 2P + EXTRA."""
+    P = 2 * radius + 3
+    return max(0, R_SH + 1 - P)
+
+
 def pad_fmap_pyramid(fmap2_pyramid: Sequence[jax.Array], radius: int = 4,
-                     dtype=None, quad: "bool | None" = None
-                     ) -> Sequence[jax.Array]:
+                     dtype=None, quad: "bool | None" = None,
+                     shared: "bool | None" = None) -> Sequence[jax.Array]:
     """Zero-pad every level for the kernel (done once per flow solve,
     outside the GRU scan): P = 2r+3 on top/bottom/left; the right edge gets
     extra slack so an ALIGN-aligned PATCH_W-wide band never reads past the
@@ -396,21 +690,30 @@ def pad_fmap_pyramid(fmap2_pyramid: Sequence[jax.Array], radius: int = 4,
     quad=True (default: DEFLICKER_CORR_QUAD env) emits the quad-phase
     layout instead: N_PHASES x-shifted copies of the padded level stacked
     along rows — copy c holds base columns [SHIFT*c, SHIFT*c + Wc).
-    `corr_lookup_pallas` detects the layout from the row count."""
+    `corr_lookup_pallas` detects the layout from the row count.
+
+    shared=True (DEFLICKER_CORR_SHARED env) emits the quad layout widened
+    for the group-shared band: RW_SH right slack instead of PATCH_W_QUAD
+    and `_shared_extra_rows` extra bottom rows per copy, so one (R_SH,
+    RW_SH) group fetch at any legal window stays inside its copy."""
     if quad is None:
         quad = _quad_enabled()
+    if shared is None:
+        shared = _shared_enabled()
     P = 2 * radius + 3
     out = []
     for lvl in fmap2_pyramid:
         B, H, W, D = lvl.shape
         dpad = _round_up(D, 128) - D
-        if quad:
+        if quad or shared:
             # left pad grows by the maximum copy shift so x0 - SHIFT*c
             # never goes negative; copy width fits the rightmost aligned
             # PATCH_W_QUAD fetch (x0 <= W + 1 + PL)
             PL = P + (N_PHASES - 1) * SHIFT
-            Wc = _round_up(W + 1 + PL + PATCH_W_QUAD, ALIGN)
-            base = jnp.pad(lvl, ((0, 0), (P, P),
+            pw = RW_SH if shared else PATCH_W_QUAD
+            eb = _shared_extra_rows(radius) if shared else 0
+            Wc = _round_up(W + 1 + PL + pw, ALIGN)
+            base = jnp.pad(lvl, ((0, 0), (P, P + eb),
                                  (PL, Wc + (N_PHASES - 1) * SHIFT - PL - W),
                                  (0, dpad)))
             p = jnp.concatenate(
@@ -457,12 +760,14 @@ def corr_lookup_pallas(fmap1: jax.Array,
 
     outs = []
     Hl, Wl = H, W              # build_fmap_pyramid floor-halves each level
+    eb = _shared_extra_rows(radius)
     for lvl, f2p in enumerate(fmap2_pyramid_padded):
         if lvl > 0:
             Hl, Wl = Hl // 2, Wl // 2
         Hq = Hl + 2 * P
+        shared = eb > 0 and f2p.shape[1] == N_PHASES * (Hq + eb)
         quad = f2p.shape[1] == N_PHASES * Hq
-        assert quad or f2p.shape[1] == Hq, (f2p.shape, Hl)
+        assert shared or quad or f2p.shape[1] == Hq, (f2p.shape, Hl)
         lx = cx / (2.0 ** lvl)
         ly = cy / (2.0 ** lvl)
         lx = jnp.clip(lx, -(radius + 2.0), Wl - 1.0 + radius + 2.0)
@@ -471,7 +776,43 @@ def corr_lookup_pallas(fmap1: jax.Array,
         fy = jnp.floor(ly)
         wx = (lx - fx)[..., None]
         wy = (ly - fy)[..., None]
-        if quad:
+        if shared:
+            # group-shared band over the widened quad layout: per-pixel
+            # quad indices (the fallback) plus per-group shared-band
+            # stats; the kernel branches per group on okg
+            Hqs = Hq + eb
+            PL = P + (N_PHASES - 1) * SHIFT
+            K = 2 * radius + 1
+            x0 = (fx - radius).astype(jnp.int32) + PL      # (B, Np)
+            y0 = (fy - radius).astype(jnp.int32) + P
+            # per-pixel quad fallback indices (as the quad branch)
+            r = x0 % ALIGN
+            c = r // SHIFT
+            x0a = x0 - r
+            dxf = (r % SHIFT).astype(jnp.float32)[..., None]
+            y0f = y0 + c * Hqs
+            # per-group shared band: copy + aligned column of the group
+            # min; fits iff the x/y spans stay inside the envelope
+            xg = x0.reshape(B, -1, GROUP)
+            yg = y0.reshape(B, -1, GROUP)
+            minx = xg.min(axis=-1)
+            miny = yg.min(axis=-1)
+            ok_x = (xg.max(axis=-1) - minx) <= (RW_SH - K - 1 - (SHIFT - 1))
+            ok_y = (yg.max(axis=-1) - miny) <= (R_SH - K - 1)
+            okg = (ok_x & ok_y).astype(jnp.int32)          # (B, NG)
+            rmin = minx % ALIGN
+            cg = rmin // SHIFT
+            bsh = minx - rmin
+            gy0 = miny + cg * Hqs
+            rep = jnp.repeat(bsh + SHIFT * cg, GROUP, axis=1)
+            dxp = jnp.clip(x0 - rep, 0, RW_SH - K - 1)
+            dxp = dxp.astype(jnp.float32)[..., None]
+            dyp = jnp.clip(y0 - jnp.repeat(miny, GROUP, axis=1),
+                           0, R_SH - K - 1)
+            lvl_out = _lookup_level_shared(
+                f1, f2p, x0a, y0f, dxf, dxp, wx, wy, dyp, okg, bsh, gy0,
+                radius, D, compute_dtype, interpret)
+        elif quad:
             # quad-phase: pick the x-shifted copy whose residual shift is
             # x0 mod SHIFT, so an ALIGN-aligned PATCH_W_QUAD fetch covers
             # the window; the copy index becomes a whole-level row jump

@@ -104,6 +104,90 @@ def test_quad_layout_matches(spread, corr_variant):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("spread", [0.5, 3.0, 40.0])
+def test_shared_layout_matches(spread, corr_variant):
+    """The group-shared-band variant (one DMA per 8-pixel group when the
+    windows cluster, per-pixel quad fallback otherwise) fetches the SAME
+    window bytes, so it matches the wide-band layout to f32
+    reduction-order noise (the shared body reduces per-pixel (K, RW, D)
+    where the band body reduces batched (G, K, PW, D)): spread=0.5 makes
+    every group take the shared descriptor, 3.0 mixes, 40.0 forces
+    fallback + out-of-bounds clamping."""
+    if corr_variant == "resident":
+        pytest.skip("shared layout always takes the band kernels")
+    fmap1, fmap2 = _setup(seed=8)
+    B, H, W, _ = fmap1.shape
+    coords = _coords(B, H, W, spread, seed=9)
+
+    pyr = build_fmap_pyramid(fmap2)
+    band = corr_lookup_pallas(fmap1, pad_fmap_pyramid(pyr), coords,
+                              interpret=True)
+    sh = corr_lookup_pallas(fmap1, pad_fmap_pyramid(pyr, shared=True),
+                            coords, interpret=True)
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(band),
+                               rtol=1e-5, atol=2e-6)
+
+    ref = corr_lookup(build_corr_pyramid(fmap1, fmap2), coords)
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("spread", [3.0, 40.0])
+def test_reduce_first_matches(spread, corr_variant, monkeypatch):
+    """DEFLICKER_CORR_RF=1 contracts features before the y-bilinear in
+    `_level_kernel` (linear ops commute): must match the interp-first
+    order to f32 reduction noise and the materialized oracle."""
+    if corr_variant == "resident":
+        pytest.skip("RF applies to the band body only")
+    fmap1, fmap2 = _setup(seed=10)
+    B, H, W, _ = fmap1.shape
+    coords = _coords(B, H, W, spread, seed=11)
+
+    pyr = build_fmap_pyramid(fmap2)
+    padded = pad_fmap_pyramid(pyr, quad=True)
+    monkeypatch.setenv("DEFLICKER_CORR_RF", "0")
+    base = corr_lookup_pallas(fmap1, padded, coords, interpret=True)
+    monkeypatch.setenv("DEFLICKER_CORR_RF", "1")
+    rf = corr_lookup_pallas(fmap1, padded, coords, interpret=True)
+    np.testing.assert_allclose(np.asarray(rf), np.asarray(base),
+                               rtol=1e-5, atol=2e-6)
+
+    ref = corr_lookup(build_corr_pyramid(fmap1, fmap2), coords)
+    np.testing.assert_allclose(np.asarray(rf), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_shared_group_stats_cover_windows():
+    """Host-side shared-band envelope invariants: for every group the
+    kernel marks shared, each pixel's (K+1)x(K+1) window must sit inside
+    the (R_SH, RW_SH) band fetched at (gy0, bsh) from copy cg."""
+    from deflicker_tpu.ops.pallas.corr_kernel import (ALIGN, GROUP, R_SH,
+                                                      RW_SH, SHIFT)
+
+    radius, K = 4, 9
+    P = 2 * radius + 3
+    PL = P + 3 * SHIFT
+    rng = np.random.default_rng(10)
+    # adversarial spans around the envelope boundary
+    x0 = (rng.integers(0, 40, (4096,)) + PL).astype(np.int64)
+    y0 = (rng.integers(0, 14, (4096,)) + P).astype(np.int64)
+    xg = x0.reshape(-1, GROUP)
+    yg = y0.reshape(-1, GROUP)
+    minx, miny = xg.min(-1), yg.min(-1)
+    ok = ((xg.max(-1) - minx) <= (RW_SH - K - 1 - (SHIFT - 1))) \
+        & ((yg.max(-1) - miny) <= (R_SH - K - 1))
+    rmin = minx % ALIGN
+    cg = rmin // SHIFT
+    bsh = minx - rmin
+    base_col = bsh + SHIFT * cg        # original padded column of band[0]
+    for g in np.nonzero(ok)[0]:
+        for j in range(GROUP):
+            dx = xg[g, j] - base_col[g]
+            dy = yg[g, j] - miny[g]
+            assert 0 <= dx and dx + K + 1 <= RW_SH, (g, j, dx)
+            assert 0 <= dy and dy + K + 1 <= R_SH, (g, j, dy)
+
+
 def test_nonaligned_pixel_count():
     """H*W far from a CHUNK multiple: padding pixels must not corrupt
     real outputs."""
